@@ -1,0 +1,75 @@
+"""Name → constructor registries for activations and norm specs.
+
+The reference carries a full `LayerFactory` fork of MONAI
+(networks/layers/factories.py) to register `Norm["instance_cond", dim]`
+plus Act/Conv/Pool/Pad/Dropout registries; in a functional JAX design the
+conv/pool/pad factories collapse into `flax.linen` calls, so only the two
+registries with real configuration surface remain: activations and norms.
+
+`instance_nvfuser` (apex fused CUDA instance norm, factories.py:74,261-295)
+maps to our fused Pallas conditional-instance-norm kernel
+(miseg_tpu/ops/pallas/) and is accepted as an alias of `instance`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.norms import parse_normalization
+
+_ACTS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "relu": jax.nn.relu,
+    "leakyrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "softmax": jax.nn.softmax,
+    "elu": jax.nn.elu,
+    "identity": lambda x: x,
+}
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single learned slope (torch PReLU default)."""
+
+    init_slope: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("slope", nn.initializers.constant(self.init_slope), (1,))
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+def get_act(spec: str | tuple[str, dict[str, Any]] | None):
+    """Return an activation callable (or flax module for parametric acts)."""
+    if spec is None:
+        return lambda x: x
+    if isinstance(spec, str):
+        name, kwargs = spec, {}
+    else:
+        name, kwargs = spec
+    name = name.lower()
+    if name == "prelu":
+        return PReLU(init_slope=kwargs.get("init", 0.25))
+    if name == "leakyrelu" and kwargs:
+        slope = kwargs.get("negative_slope", 0.01)
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
+    try:
+        return _ACTS[name]
+    except KeyError:
+        raise ValueError(f"unknown activation: {name!r}") from None
+
+
+def get_norm_spec(norm_name: str | None, **kwargs) -> tuple[str, dict[str, Any]] | None:
+    """CLI norm name → (kind, kwargs) spec; `instance_nvfuser` ⇒ `instance`."""
+    if norm_name is None:
+        return None
+    if norm_name == "instance_nvfuser":
+        norm_name = "instance"
+    return parse_normalization(norm_name, **kwargs)

@@ -1,0 +1,109 @@
+"""Shifted-window utilities for Swin attention (3D and 2D, channel-last).
+
+Reference semantics covered (MI-Seg `networks/utils/swin_utils.py`):
+  * `window_partition` / `window_reverse` (:15-77) — view+permute shuffles;
+  * `get_window_size` (:80-104) — shrink window / zero shift for dims
+    smaller than the window;
+  * `compute_mask` (:107-143) — shifted-window attention mask built by
+    region-id labeling.
+
+TPU-first differences: the attention mask is precomputed with numpy at
+TRACE time (shapes are static — the training ROI is fixed), so no device
+compute or Python-loop-on-device is spent building it, and it constant-folds
+into the compiled program.  Partition/reverse are pure reshape/transposes
+that XLA fuses away.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ATTN_MASK_VALUE = -100.0  # matches MONAI/reference masked_fill value
+
+
+def get_window_size(x_size, window_size, shift_size=None):
+    """Per-dim: if the input dim <= window, clamp window to it and zero the shift."""
+    use_window = list(window_size)
+    use_shift = list(shift_size) if shift_size is not None else None
+    for i in range(len(x_size)):
+        if x_size[i] <= window_size[i]:
+            use_window[i] = x_size[i]
+            if use_shift is not None:
+                use_shift[i] = 0
+    if shift_size is None:
+        return tuple(use_window)
+    return tuple(use_window), tuple(use_shift)
+
+
+def window_partition(x: jax.Array, window_size) -> jax.Array:
+    """[B, *spatial, C] → [B*nW, prod(window), C] for 2D or 3D spatial dims."""
+    if x.ndim == 5:
+        b, d, h, w, c = x.shape
+        wd, wh, ww = window_size
+        x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        return x.reshape(-1, wd * wh * ww, c)
+    b, h, w, c = x.shape
+    wh, ww = window_size
+    x = x.reshape(b, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, wh * ww, c)
+
+
+def window_reverse(windows: jax.Array, window_size, dims) -> jax.Array:
+    """Inverse of `window_partition`."""
+    if len(dims) == 4:
+        b, d, h, w = dims
+        wd, wh, ww = window_size
+        x = windows.reshape(b, d // wd, h // wh, w // ww, wd, wh, ww, -1)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return x.reshape(b, d, h, w, -1)
+    b, h, w = dims
+    wh, ww = window_size
+    x = windows.reshape(b, h // wh, w // ww, wh, ww, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+@functools.lru_cache(maxsize=64)
+def compute_mask(dims: tuple, window_size: tuple, shift_size: tuple) -> jax.Array | None:
+    """Shifted-window attention mask, `[nW, N, N]` of {0, -100}, or None.
+
+    Static precompute: positions are labeled with a region id by the same
+    3-segment slicing as the reference (swin_utils.py:107-143); windows
+    whose tokens span regions get -100 on cross-region pairs.
+    """
+    if not any(shift_size):
+        return None
+    img = np.zeros((1, *dims, 1), dtype=np.int32)
+    cnt = 0
+
+    def _segments(dim, ws, ss):
+        if ss == 0 or ws >= dim:
+            return [slice(None)]
+        return [slice(0, -ws), slice(-ws, -ss), slice(-ss, None)]
+
+    import itertools
+    for idx in itertools.product(*[_segments(d, w, s)
+                                   for d, w, s in zip(dims, window_size, shift_size)]):
+        img[(slice(None), *idx, slice(None))] = cnt
+        cnt += 1
+    # partition into windows with numpy (mirrors window_partition)
+    x = img
+    if len(dims) == 3:
+        d, h, w = dims
+        wd, wh, ww = window_size
+        x = x.reshape(1, d // wd, wd, h // wh, wh, w // ww, ww, 1)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww)
+    else:
+        h, w = dims
+        wh, ww = window_size
+        x = x.reshape(1, h // wh, wh, w // ww, ww, 1)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww)
+    diff = x[:, None, :] - x[:, :, None]
+    mask = np.where(diff != 0, ATTN_MASK_VALUE, 0.0).astype(np.float32)
+    return jnp.asarray(mask)

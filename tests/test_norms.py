@@ -1,0 +1,111 @@
+"""Unit tests for the normalization core.
+
+Strategy per SURVEY.md §4: conditional norm is checked against a per-style
+reference computation (the semantics of the reference's per-sample Python
+loop, conditional_instance_norm.py:59-60), plain norms against numpy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miseg_tpu.ops import norms as N
+from miseg_tpu.nn.norms import Norm, make_norm
+
+
+def _np_instance_norm(x, gamma=None, beta=None, eps=1e-5):
+    axes = tuple(range(1, x.ndim - 1))
+    mean = x.mean(axis=axes, keepdims=True)
+    var = x.var(axis=axes, keepdims=True)
+    y = (x - mean) / np.sqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma + beta
+    return y
+
+
+def test_instance_norm_matches_numpy(rng):
+    x = rng.standard_normal((2, 5, 6, 7, 3)).astype(np.float32)
+    g = rng.standard_normal(3).astype(np.float32)
+    b = rng.standard_normal(3).astype(np.float32)
+    got = N.instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    want = _np_instance_norm(x, g, b)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_conditional_instance_norm_per_style_reference(rng):
+    """Vectorized gather must equal applying each style's affine per sample."""
+    num_styles, c = 3, 4
+    x = rng.standard_normal((5, 6, 7, c)).astype(np.float32)  # [B, H, W, C] (2d case)
+    gamma = rng.standard_normal((num_styles, c)).astype(np.float32)
+    beta = rng.standard_normal((num_styles, c)).astype(np.float32)
+    styles = np.array([0, 2, 1, 0, 2], dtype=np.int32)
+    got = N.conditional_instance_norm(jnp.asarray(x), jnp.asarray(styles),
+                                      jnp.asarray(gamma), jnp.asarray(beta))
+    # reference semantics: per-sample, apply the style's own instance norm
+    want = np.stack([
+        _np_instance_norm(x[i:i + 1], gamma[styles[i]], beta[styles[i]])[0]
+        for i in range(len(styles))
+    ])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_conditional_norm_lifts_swbatch_restriction(rng):
+    """Broadcasting one modality over a window batch works (reference errored)."""
+    x = rng.standard_normal((4, 5, 5, 5, 2)).astype(np.float32)
+    styles = jnp.full((4,), 1, jnp.int32)  # same modality replicated over sw batch
+    gamma = jnp.ones((2, 2))
+    beta = jnp.zeros((2, 2))
+    out = N.conditional_instance_norm(jnp.asarray(x), styles, gamma, beta)
+    assert out.shape == x.shape
+
+
+def test_layer_norm_matches_numpy(rng):
+    x = rng.standard_normal((2, 10, 8)).astype(np.float32)
+    got = N.layer_norm(jnp.asarray(x))
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(got), (x - mean) / np.sqrt(var + 1e-5), atol=1e-4)
+
+
+def test_group_norm_shapes_and_stats(rng):
+    x = rng.standard_normal((2, 4, 4, 4, 8)).astype(np.float32)
+    y = np.asarray(N.group_norm(jnp.asarray(x), num_groups=4))
+    assert y.shape == x.shape
+    # each (sample, group) slab is standardized
+    g = y.reshape(2, -1, 4, 2)
+    np.testing.assert_allclose(g.mean(axis=(1, 3)), 0.0, atol=1e-3)
+
+
+def test_norm_module_instance_cond_requires_modalities(rng):
+    m = Norm(kind="instance_cond", features=3, num_styles=2)
+    x = jnp.ones((2, 4, 4, 3))
+    with pytest.raises(ValueError, match="modalities"):
+        m.init(jax.random.key(0), x)
+
+
+def test_norm_module_param_shapes():
+    m = make_norm(("instance_cond", {"num_styles": 4}), features=6)
+    x = jnp.ones((2, 4, 4, 4, 6))
+    mods = jnp.array([0, 3], jnp.int32)
+    params = m.init(jax.random.key(0), x, mods)
+    assert params["params"]["scale"].shape == (4, 6)
+    y = m.apply(params, x, mods)
+    assert y.shape == x.shape
+
+
+def test_parse_normalization_mapping():
+    assert N.parse_normalization("instance_cond", num_styles=3) == (
+        "instance_cond", {"num_styles": 3, "affine": True})
+    assert N.parse_normalization("layer") == ("layer", {"elementwise_affine": True})
+    assert N.parse_normalization("group", num_groups=4)[1]["num_groups"] == 4
+
+
+def test_batch_norm_running_stats(rng):
+    m = Norm(kind="batch", features=3)
+    x = jnp.asarray(rng.standard_normal((8, 5, 3)).astype(np.float32) * 2 + 1)
+    variables = m.init(jax.random.key(0), x)
+    y, mutated = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == x.shape
+    # running mean moved toward batch mean
+    assert not np.allclose(np.asarray(mutated["batch_stats"]["mean"]), 0.0)
