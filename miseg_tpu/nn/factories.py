@@ -46,7 +46,7 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
-def get_act(spec: str | tuple[str, dict[str, Any]] | None):
+def get_act(spec: str | tuple[str, dict[str, Any]] | None, module_name: str | None = None):
     """Return an activation callable (or flax module for parametric acts)."""
     if spec is None:
         return lambda x: x
@@ -56,7 +56,7 @@ def get_act(spec: str | tuple[str, dict[str, Any]] | None):
         name, kwargs = spec
     name = name.lower()
     if name == "prelu":
-        return PReLU(init_slope=kwargs.get("init", 0.25))
+        return PReLU(init_slope=kwargs.get("init", 0.25), name=module_name)
     if name == "leakyrelu" and kwargs:
         slope = kwargs.get("negative_slope", 0.01)
         return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)

@@ -1,0 +1,218 @@
+"""Swin transformer blocks: window attention, shifted-window block,
+patch merging, patch embedding.
+
+Reference parity:
+  * `WindowAttention` (networks/blocks/window_attention.py:16-121) —
+    windowed MHSA with (2w-1)^nd relative-position-bias table;
+  * `SwinTransformerBlock` (networks/blocks/swin_transformer_block.py:24-251)
+    — norm → pad → cyclic roll → window partition → attention → reverse →
+    unroll → crop, then norm → MLP, both with DropPath;
+  * `PatchMergingV2` / legacy `PatchMerging`
+    (networks/blocks/patch_merging.py:20-142) — 2^nd space-to-channel
+    concat → norm → Linear(2^nd·c → 2c, no bias); the legacy variant keeps
+    MONAI v0.9's slice ordering including its duplicated x5/x6 slices
+    (:120-128) for checkpoint compatibility;
+  * `PatchEmbed` (networks/blocks/patch_embedding.py:126-237) —
+    pad-to-multiple + strided conv projection + optional norm.
+
+TPU-first: everything is channel-last; the rel-pos index is a static numpy
+precompute that constant-folds; rolls/partitions are reshape/transpose ops
+XLA fuses. Gradient checkpointing maps to `jax.checkpoint` (remat) applied
+at the model level.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import reduce
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.init import trunc_normal
+from ..ops.window import get_window_size, window_partition, window_reverse
+from .factories import get_act
+from .norms import make_norm
+from .transformer import MLPBlock
+
+NormSpec = tuple[str, dict[str, Any]] | str
+
+
+def _rel_pos_index(window_size: Sequence[int]) -> np.ndarray:
+    """Static [N, N] index into the relative-position-bias table."""
+    grids = np.meshgrid(*[np.arange(w) for w in window_size], indexing="ij")
+    coords = np.stack([g.reshape(-1) for g in grids])  # [nd, N]
+    rel = coords[:, :, None] - coords[:, None, :]      # [nd, N, N]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    strides = []
+    acc = 1
+    for w in reversed(window_size):
+        strides.append(acc)
+        acc *= 2 * w - 1
+    strides = strides[::-1]
+    for i, w in enumerate(window_size):
+        rel[:, :, i] += w - 1
+        rel[:, :, i] *= strides[i]
+    return rel.sum(-1)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (drops the whole residual branch)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        return nn.Dropout(rate=self.rate,
+                          broadcast_dims=tuple(range(1, x.ndim)))(
+                              x, deterministic=False)
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA with relative position bias over `[B·nW, N, C]`."""
+
+    num_heads: int
+    window_size: tuple[int, ...]
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, train: bool = False):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        table_len = reduce(lambda a, w: a * (2 * w - 1), self.window_size, 1)
+        bias_table = self.param("relative_position_bias_table",
+                                trunc_normal(0.02), (table_len, self.num_heads))
+        index = _rel_pos_index(self.window_size)[:n, :n].reshape(-1)
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * (head_dim ** -0.5)
+        rel_bias = bias_table[jnp.asarray(index)].reshape(n, n, -1)
+        attn = attn + rel_bias.transpose(2, 0, 1).astype(attn.dtype)[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v).reshape(b, n, c)
+        out = nn.Dense(c, name="proj")(out)
+        return nn.Dropout(rate=self.proj_drop)(out, deterministic=not train)
+
+
+class SwinTransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: tuple[int, ...]
+    shift_size: tuple[int, ...]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    act: str | tuple = "gelu"
+    norm: NormSpec = ("layer", {})
+
+    def _pad_roll_attend(self, x, mask_matrix, modalities, train):
+        x = make_norm(self.norm, self.dim, name="norm1")(x, modalities, train=train)
+        spatial = x.shape[1:-1]
+        window_size, shift_size = get_window_size(spatial, self.window_size,
+                                                  self.shift_size)
+        pads = [(0, 0)] + [(0, (w - s % w) % w) for s, w in zip(spatial, window_size)] + [(0, 0)]
+        x = jnp.pad(x, pads)
+        padded = x.shape[1:-1]
+
+        shifted = any(shift_size)
+        if shifted:
+            x = jnp.roll(x, [-s for s in shift_size], axis=tuple(range(1, x.ndim - 1)))
+            attn_mask = mask_matrix
+        else:
+            attn_mask = None
+        windows = window_partition(x, window_size)
+        attn_windows = WindowAttention(
+            num_heads=self.num_heads, window_size=tuple(window_size),
+            qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
+            proj_drop=self.drop, name="attn")(windows, attn_mask, train=train)
+        x = window_reverse(attn_windows, window_size, (x.shape[0], *padded))
+        if shifted:
+            x = jnp.roll(x, list(shift_size), axis=tuple(range(1, x.ndim - 1)))
+        crop = tuple(slice(0, s) for s in spatial)
+        return x[(slice(None), *crop, slice(None))]
+
+    @nn.compact
+    def __call__(self, x, mask_matrix=None, modalities=None, *, train: bool = False):
+        shortcut = x
+        x = self._pad_roll_attend(x, mask_matrix, modalities, train)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train=train)
+        y = make_norm(self.norm, self.dim, name="norm2")(x, modalities, train=train)
+        y = MLPBlock(mlp_dim=int(self.dim * self.mlp_ratio), dropout_rate=self.drop,
+                     act=self.act, name="mlp")(y, train=train)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, train=train)
+
+
+class PatchMergingV2(nn.Module):
+    """2^nd space-to-channel concat → norm → Linear(→2·dim, no bias)."""
+
+    dim: int
+    norm: NormSpec = ("instance_cond", {})
+    legacy: bool = False  # reproduce MONAI v0.9 slice order (dup x5/x6 bug)
+
+    @nn.compact
+    def __call__(self, x, modalities=None, *, train: bool = False):
+        nd = x.ndim - 2
+        spatial = x.shape[1:-1]
+        pads = [(0, 0)] + [(0, s % 2) for s in spatial] + [(0, 0)]
+        if any(s % 2 for s in spatial):
+            x = jnp.pad(x, pads)
+        if nd == 3:
+            if self.legacy:
+                # MONAI v0.9 ordering incl. duplicated slices (patch_merging.py:120-128)
+                offsets = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                           (1, 0, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)]
+            else:
+                offsets = list(itertools.product((0, 1), repeat=3))
+            x = jnp.concatenate(
+                [x[:, i::2, j::2, k::2, :] for i, j, k in offsets], axis=-1)
+        else:
+            # 2D: reference iterates product as (i, j) but slices [j::2, i::2]
+            x = jnp.concatenate(
+                [x[:, j::2, i::2, :] for i, j in itertools.product((0, 1), repeat=2)],
+                axis=-1)
+        merged = x.shape[-1]
+        x = make_norm(self.norm, merged, name="norm")(x, modalities, train=train)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+def PatchMerging(dim, norm=("instance_cond", {}), name=None):
+    """Legacy (v0.9-compat) patch merging — see PatchMergingV2.legacy."""
+    return PatchMergingV2(dim=dim, norm=norm, legacy=True, name=name)
+
+
+class PatchEmbed(nn.Module):
+    """Swin patch embedding: pad-to-multiple + strided conv (+ optional norm)."""
+
+    patch_size: tuple[int, ...]
+    embed_dim: int = 48
+    norm: NormSpec | None = None
+
+    @nn.compact
+    def __call__(self, x, modalities=None, *, train: bool = False):
+        spatial = x.shape[1:-1]
+        pads = [(0, 0)] + [(0, (p - s % p) % p) for s, p in zip(spatial, self.patch_size)] + [(0, 0)]
+        if any(p[1] for p in pads[1:-1]):
+            x = jnp.pad(x, pads)
+        x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
+                    strides=self.patch_size, padding="VALID", name="proj")(x)
+        if self.norm is not None:
+            x = make_norm(self.norm, self.embed_dim, name="norm")(x, modalities, train=train)
+        return x
