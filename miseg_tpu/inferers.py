@@ -1,0 +1,242 @@
+"""On-device sliding-window inference with overlap blending.
+
+Re-implements `monai.inferers.sliding_window_inference` as used by the
+reference (lightning_monai.py:86-93, tune.py:141-147, test.py:153-159,
+predict_whs.py): tile an arbitrary-size volume into fixed ROIs on a
+regular grid (`scan_interval = roi * (1 - overlap)`), run the predictor on
+window batches, blend with a constant or gaussian importance map, and
+normalize.
+
+TPU-first design (SURVEY §7.3 — this is where the throughput target is
+won):
+  * the whole tile→predict→blend→normalize pipeline is ONE jitted program
+    per (padded shape, roi, overlap) bucket: window extraction is
+    `lax.dynamic_slice` inside a `lax.scan`, blending is on-device
+    read-modify-write into HBM-resident accumulators — zero host
+    round-trips per window;
+  * volumes are padded so windows tile exactly, bounding the number of
+    compile variants; results are cropped back;
+  * `sw_batch_size` windows are predicted per scan step (batched MXU
+    work); the per-sample modality id is broadcast to the window batch —
+    our vectorized cond-norm lifts the reference's sw_batch_size=1
+    restriction (conditional_instance_norm.py:46-47);
+  * `infer_cpu` (host stitching to cap HBM, lightning_monai.py:92) maps to
+    `stitch_on_host=True`: prediction stays on device, accumulation in
+    host numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def scan_interval(roi_size: Sequence[int], overlap: float) -> tuple[int, ...]:
+    """MONAI's per-dim scan interval: int(roi * (1 - overlap)), min 1."""
+    return tuple(max(1, int(r * (1.0 - overlap))) for r in roi_size)
+
+
+def dense_patch_starts(image_size: Sequence[int], roi_size: Sequence[int],
+                       interval: Sequence[int]) -> np.ndarray:
+    """Grid of window start corners `[N, nd]` (MONAI dense_patch_slices)."""
+    per_dim = []
+    for size, roi, step in zip(image_size, roi_size, interval):
+        if size <= roi:
+            per_dim.append([0])
+            continue
+        n = int(math.ceil((size - roi) / step)) + 1
+        starts = [min(i * step, size - roi) for i in range(n)]
+        # dedupe while preserving order (clipping can collide)
+        seen, uniq = set(), []
+        for s in starts:
+            if s not in seen:
+                seen.add(s)
+                uniq.append(s)
+        per_dim.append(uniq)
+    return np.array(list(itertools.product(*per_dim)), dtype=np.int32)
+
+
+def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
+    """Gaussian blend map centered on the ROI (MONAI GaussianFilter analog)."""
+    grids = np.meshgrid(*[np.arange(r, dtype=np.float64) for r in roi_size],
+                        indexing="ij")
+    out = np.zeros(tuple(roi_size), dtype=np.float64)
+    for g, r in zip(grids, roi_size):
+        sigma = max(r * sigma_scale, 1e-3)
+        center = (r - 1) / 2.0
+        out = out + (-0.5 * ((g - center) / sigma) ** 2)
+    out = np.exp(out)
+    out = out / out.max()
+    # clamp tiny values so normalization never divides by ~0 (MONAI min clip)
+    return np.maximum(out, out.max() * 1e-3).astype(np.float32)
+
+
+def _pad_to_grid(spatial: Sequence[int], roi_size: Sequence[int],
+                 interval: Sequence[int]) -> tuple[int, ...]:
+    """Smallest padded size ≥ max(spatial, roi) with (size - roi) % step == 0."""
+    out = []
+    for s, r, st in zip(spatial, roi_size, interval):
+        s = max(s, r)
+        rem = (s - r) % st
+        out.append(s if rem == 0 else s + (st - rem))
+    return tuple(out)
+
+
+def _sw_core(predict_fn: Callable, x: Array, modalities: Array | None,
+             starts: Array, roi: tuple[int, ...], sw_batch_size: int,
+             out_channels: int, importance: Array) -> Array:
+    """Jittable tile→predict→blend over one padded volume.
+
+    x: [B, *padded, C]; starts: [Ng, sw_batch_size, nd] grouped window
+    corners (groups padded by repeating the last window — harmless, the
+    blend normalizes).  Returns normalized logits [B, *padded, out_channels].
+    """
+    b = x.shape[0]
+    padded = x.shape[1:-1]
+    nd = len(roi)
+    acc = jnp.zeros((b, *padded, out_channels), jnp.float32)
+    cnt = jnp.zeros((1, *padded, 1), jnp.float32)
+    imp = importance.reshape(1, *roi, 1).astype(jnp.float32)
+
+    def extract(start):
+        return jax.lax.dynamic_slice(
+            x, (0, *[start[i] for i in range(nd)], 0), (b, *roi, x.shape[-1]))
+
+    def step(carry, group):
+        acc, cnt = carry
+        # [k, B, *roi, C] → [k*B, *roi, C]
+        windows = jax.vmap(extract)(group)
+        kb = windows.shape[0] * b
+        windows = windows.reshape(kb, *roi, x.shape[-1])
+        if modalities is not None:
+            mods = jnp.tile(modalities, windows.shape[0] // b)
+        else:
+            mods = None
+        logits = predict_fn(windows, mods).astype(jnp.float32)  # [k*B, *roi, O]
+        logits = logits.reshape(-1, b, *roi, out_channels) * imp[None]
+
+        def add_one(i, carry):
+            acc, cnt = carry
+            start = group[i]
+            idx = (0, *[start[j] for j in range(nd)], 0)
+            cur = jax.lax.dynamic_slice(acc, idx, (b, *roi, out_channels))
+            acc = jax.lax.dynamic_update_slice(acc, cur + logits[i], idx)
+            curc = jax.lax.dynamic_slice(cnt, idx[:1] + idx[1:-1] + (0,),
+                                         (1, *roi, 1))
+            cnt = jax.lax.dynamic_update_slice(cnt, curc + imp,
+                                               idx[:1] + idx[1:-1] + (0,))
+            return acc, cnt
+
+        acc, cnt = jax.lax.fori_loop(0, logits.shape[0], add_one, (acc, cnt))
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(step, (acc, cnt), starts)
+    return acc / cnt
+
+
+class SlidingWindowInferer:
+    """Callable inferer with per-shape jit caching.
+
+    Args mirror the MONAI call surface: roi_size, sw_batch_size, overlap,
+    mode ("constant" | "gaussian"), sigma_scale, stitch_on_host
+    (the reference's `infer_cpu`).
+    `predict_fn(windows, modalities) -> logits` must be shape-preserving
+    over the ROI and is typically `lambda w, m: model.apply(vars, w, m)`.
+    """
+
+    def __init__(self, predict_fn: Callable, roi_size: Sequence[int],
+                 sw_batch_size: int = 1, overlap: float = 0.5,
+                 mode: str = "constant", sigma_scale: float = 0.125,
+                 out_channels: int | None = None,
+                 stitch_on_host: bool = False):
+        self.predict_fn = predict_fn
+        self.roi_size = tuple(roi_size)
+        self.sw_batch_size = int(sw_batch_size)
+        self.overlap = float(overlap)
+        self.mode = mode
+        self.sigma_scale = float(sigma_scale)
+        self.out_channels = out_channels
+        self.stitch_on_host = stitch_on_host
+        self._jitted: dict[Any, Callable] = {}
+
+    def _importance(self) -> np.ndarray:
+        if self.mode == "constant":
+            return np.ones(self.roi_size, np.float32)
+        if self.mode == "gaussian":
+            return gaussian_importance(self.roi_size, self.sigma_scale)
+        raise ValueError(f"unknown blend mode {self.mode!r}")
+
+    def _grouped_starts(self, padded: tuple[int, ...]) -> np.ndarray:
+        interval = scan_interval(self.roi_size, self.overlap)
+        starts = dense_patch_starts(padded, self.roi_size, interval)
+        k = self.sw_batch_size
+        n = starts.shape[0]
+        n_pad = (k - n % k) % k
+        if n_pad:
+            starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, 0)], 0)
+        return starts.reshape(-1, k, starts.shape[1])
+
+    def __call__(self, inputs: Array, modalities: Array | None = None) -> Array:
+        roi = self.roi_size
+        spatial = tuple(inputs.shape[1:-1])
+        interval = scan_interval(roi, self.overlap)
+        padded = _pad_to_grid(spatial, roi, interval)
+        # symmetric pad (MONAI pads half/half when dim < roi)
+        pads = [(0, 0)]
+        for s, p in zip(spatial, padded):
+            lo = (p - s) // 2
+            pads.append((lo, p - s - lo))
+        pads.append((0, 0))
+        x = jnp.pad(inputs, pads) if any(p != (0, 0) for p in pads) else inputs
+
+        starts = self._grouped_starts(padded)
+        out_ch = self.out_channels
+        if out_ch is None:
+            raise ValueError("out_channels must be set on SlidingWindowInferer")
+
+        if self.stitch_on_host:
+            out = self._host_stitch(x, modalities, starts, out_ch)
+        else:
+            key = (padded, inputs.shape[0], inputs.shape[-1], starts.shape[:2])
+            if key not in self._jitted:
+                imp = jnp.asarray(self._importance())
+                self._jitted[key] = jax.jit(
+                    functools.partial(_sw_core, self.predict_fn, roi=roi,
+                                      sw_batch_size=self.sw_batch_size,
+                                      out_channels=out_ch, importance=imp))
+            out = self._jitted[key](x, modalities, jnp.asarray(starts))
+
+        crop = tuple(slice(p[0], p[0] + s) for p, s in zip(pads[1:-1], spatial))
+        return out[(slice(None), *crop, slice(None))]
+
+    def _host_stitch(self, x, modalities, starts, out_ch):
+        """Device predict per window batch, accumulate in host numpy."""
+        b = x.shape[0]
+        roi = self.roi_size
+        imp = self._importance()
+        imp_b = imp.reshape(1, *roi, 1)
+        acc = np.zeros((b, *x.shape[1:-1], out_ch), np.float32)
+        cnt = np.zeros((1, *x.shape[1:-1], 1), np.float32)
+        x_np = x  # keep on device; slice via lax for transfer efficiency
+        for group in starts:
+            windows = jnp.stack([
+                jax.lax.dynamic_slice(x_np, (0, *map(int, s), 0), (b, *roi, x.shape[-1]))
+                for s in group]).reshape(-1, *roi, x.shape[-1])
+            mods = (jnp.tile(modalities, len(group)) if modalities is not None
+                    else None)
+            logits = np.asarray(self.predict_fn(windows, mods), np.float32)
+            logits = logits.reshape(len(group), b, *roi, out_ch)
+            for i, s in enumerate(group):
+                sl = (slice(None), *[slice(int(si), int(si) + r)
+                                     for si, r in zip(s, roi)], slice(None))
+                acc[sl] += logits[i] * imp_b
+                cnt[(slice(0, 1),) + sl[1:-1] + (slice(None),)] += imp_b
+        return jnp.asarray(acc / cnt)

@@ -150,7 +150,9 @@ class SwinTransformerBlock(nn.Module):
         return x[(slice(None), *crop, slice(None))]
 
     @nn.compact
-    def __call__(self, x, mask_matrix=None, modalities=None, *, train: bool = False):
+    def __call__(self, x, mask_matrix=None, modalities=None, train: bool = False):
+        # `train` is positional-or-keyword so `nn.remat(..., static_argnums=(4,))`
+        # can mark it static when gradient checkpointing is on.
         shortcut = x
         x = self._pad_roll_attend(x, mask_matrix, modalities, train)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train=train)
