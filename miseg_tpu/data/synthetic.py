@@ -1,0 +1,72 @@
+"""Synthetic MM-WHS-like dataset generator (for tests/bench/CI).
+
+Writes small NIfTI volumes with sphere-ish multi-class labels and
+decathlon-style split JSONs matching the reference's layout
+(dataset/MM-WHS/*.json: top-level `modality` int + training/validation/
+test lists — SURVEY §2.5).  No real MM-WHS data ships with either repo;
+this generator provides a drop-in stand-in with the same on-disk shape.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .nifti import save_nifti
+
+
+def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int):
+    """Image with class-dependent blobs; MR gets a different intensity law."""
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
+                             indexing="ij")
+    label = np.zeros(shape, np.int16)
+    img = rng.normal(0.0, 0.05, shape).astype(np.float32)
+    for c in range(1, num_classes):
+        center = rng.uniform(-0.5, 0.5, 3)
+        radius = rng.uniform(0.15, 0.35)
+        blob = ((zz - center[0]) ** 2 + (yy - center[1]) ** 2
+                + (xx - center[2]) ** 2) < radius ** 2
+        label[blob] = c
+        intensity = 0.3 + 0.1 * c if modality == 0 else 1.0 - 0.1 * c
+        img[blob] += intensity
+    img = img * 400 + (-100 if modality == 0 else 50)  # HU-ish vs MR-ish
+    return img.astype(np.float32), label
+
+
+def make_synthetic_dataset(root: str | Path, *, n_train: int = 2, n_val: int = 1,
+                           n_test: int = 1, shape=(48, 48, 48),
+                           num_classes: int = 4, modalities=(0, 1),
+                           spacing=(1.5, 1.5, 1.5), seed: int = 0) -> list[str]:
+    """Create volumes + per-modality JSONs; returns the JSON paths."""
+    root = Path(root)
+    jsons = []
+    rng = np.random.default_rng(seed)
+    for modality in modalities:
+        name = "CT" if modality == 0 else "MR"
+        sub = root / f"{name.lower()}_train"
+        sub.mkdir(parents=True, exist_ok=True)
+        affine = np.diag([*spacing, 1.0])
+        affine[:3, :3] *= np.array([[-1], [-1], [1]])  # LPS-ish, exercises RAS reorient
+        splits = {"training": n_train, "validation": n_val, "test": n_test}
+        lists: dict[str, list] = {k: [] for k in splits}
+        idx = 1000
+        for split, n in splits.items():
+            for _ in range(n):
+                idx += 1
+                img, lab = _volume(rng, shape, num_classes, modality)
+                ipath = sub / f"{name.lower()}_train_{idx}_image.nii.gz"
+                lpath = sub / f"{name.lower()}_train_{idx}_label.nii.gz"
+                save_nifti(ipath, img, affine)
+                save_nifti(lpath, lab, affine)
+                lists[split].append({"image": str(ipath.relative_to(root)),
+                                     "label": str(lpath.relative_to(root))})
+        doc = {"name": "synthetic", "modality": modality,
+               "labels": {str(i): f"class{i}" for i in range(num_classes)},
+               "tensorImageSize": "3D", **lists}
+        jpath = root / f"{name}.json"
+        with open(jpath, "w") as f:
+            json.dump(doc, f)
+        jsons.append(str(jpath))
+    return jsons

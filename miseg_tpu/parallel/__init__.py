@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, batch_sharding, replicated_sharding,  # noqa: F401
+                   shard_batch, host_shard_info)

@@ -1,0 +1,304 @@
+"""Unified training engine: one sharded jit train loop covering both of
+the reference's engines.
+
+Reference parity (SURVEY §2.6, §7.3 "two engines, one implementation"):
+  * `LitMonai` (networks/lightning_monai.py) — epoch train loss logging,
+    sliding-window eval with per-class/avg dice (`val/accuracy/*`,
+    `val/loss/*` namespaces), per-modality epoch aggregation, early
+    stopping on `val/accuracy/avg` (max, patience, min_delta), top-k +
+    last checkpointing, plateau scheduler monitoring `val/loss/avg` at
+    `check_val_every_n_epoch` frequency;
+  * raw loop (`utils/trainer.py`) — gradient accumulation with correct
+    step boundaries (optax MultiSteps), best/last checkpoints with
+    optimizer/scheduler state, per-modality dice/surface-distance
+    Cumulative reductions (`val_total_*`, `val_modality*` namespaces),
+    ASHA-style report callback for HPO.
+
+TPU-first:
+  * ONE jitted, input-donating train step; the batch is sharded on the
+    mesh "data" axis, params replicated — XLA inserts the gradient
+    all-reduce over ICI (DDP/NCCL equivalent, SURVEY §2.8);
+  * bf16 compute policy (params master-copy f32; cast at apply) replaces
+    CUDA AMP + GradScaler — no loss scaling needed on TPU;
+  * eval reuses the on-device sliding-window inferer.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config
+from ..inferers import SlidingWindowInferer
+from ..losses import loss_from_config
+from ..metrics import (MetricAccumulator, as_discrete, dice_score,
+                       metric_by_modality, nanmean_valid, reduce_mean_batch,
+                       surface_distance)
+from ..models import model_from_config
+from ..parallel import make_mesh, replicated_sharding, shard_batch
+from ..utils.logging import MetricLogger
+from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
+from .optim import (current_learning_rate, optimizer_from_config,
+                    set_learning_rate)
+from .schedules import scheduler_from_config
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class EarlyStopping:
+    """monitor max with min_delta/patience (train.py:27-32 semantics)."""
+
+    def __init__(self, patience: int = 6, min_delta: float = 1e-3,
+                 mode: str = "max"):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.mode = mode
+        self.best: float | None = None
+        self.bad = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True when training should stop."""
+        improved = (self.best is None or
+                    (self.mode == "max" and value > self.best + self.min_delta) or
+                    (self.mode == "min" and value < self.best - self.min_delta))
+        if improved:
+            self.best = value
+            self.bad = 0
+        else:
+            self.bad += 1
+        return self.bad >= self.patience
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model=None, mesh=None,
+                 workdir: str | None = None, logger: MetricLogger | None = None):
+        self.cfg = cfg
+        self.model = model if model is not None else model_from_config(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        self.loss_fn = loss_from_config(cfg)
+        self.scheduler = scheduler_from_config(cfg)
+        self.workdir = workdir or cfg.default_root_dir
+        self.logger = logger or MetricLogger(self.workdir)
+        self.compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+        self.tx = None
+        self._train_step = None
+        self._eval_loss = None
+
+    # ------------------------------------------------------------ forward
+
+    def apply_fn(self, params, image, modalities, *, train: bool = False,
+                 rng=None):
+        p = jax.tree.map(lambda x: x.astype(self.compute_dtype)
+                         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        x = image.astype(self.compute_dtype)
+        kwargs = {}
+        if train and rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        logits = self.model.apply({"params": p}, x, modalities, train=train,
+                                  **kwargs)
+        return logits.astype(jnp.float32)
+
+    # -------------------------------------------------------------- state
+
+    def init_state(self, sample_image: np.ndarray, sample_modality: np.ndarray,
+                   rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.cfg.seed)
+        variables = self.model.init({"params": rng},
+                                    jnp.asarray(sample_image),
+                                    jnp.asarray(sample_modality))
+        params = variables["params"]
+        self.tx = optimizer_from_config(
+            self.cfg, params, getattr(self.model, "ENCODER_PREFIXES", ()))
+        opt_state = self.tx.init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32))
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    # --------------------------------------------------------- train step
+
+    def _build_train_step(self):
+        def step_fn(state: TrainState, image, label, modality, rng):
+            def loss_of(params):
+                logits = self.apply_fn(params, image, modality, train=True,
+                                       rng=rng)
+                return self.loss_fn(logits, label)
+
+            loss, grads = jax.value_and_grad(loss_of)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 step=state.step + 1), loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, batch: dict) -> tuple[TrainState, float]:
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        b = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
+                         if k in ("image", "label", "modality")}, self.mesh)
+        label = b["label"]
+        if label.ndim == 5 and label.shape[-1] == 1:
+            label = label[..., 0]
+        rng = jax.random.fold_in(jax.random.key(self.cfg.seed + 1),
+                                 int(state.step))
+        state, loss = self._train_step(state, b["image"],
+                                       label.astype(jnp.int32),
+                                       b.get("modality"), rng)
+        return state, loss
+
+    # --------------------------------------------------------------- eval
+
+    def make_inferer(self, params, mode: str = "constant") -> SlidingWindowInferer:
+        cfg = self.cfg
+        return SlidingWindowInferer(
+            lambda w, m: self.apply_fn(params, w, m, train=False),
+            roi_size=cfg.roi, sw_batch_size=cfg.sw_batch_size,
+            overlap=cfg.infer_overlap, mode=mode,
+            out_channels=cfg.out_channels, stitch_on_host=cfg.infer_cpu)
+
+    def evaluate(self, loader, state: TrainState, *, prefix: str = "val",
+                 compute_surface: bool = False, epoch: int | None = None) -> dict:
+        cfg = self.cfg
+        inferer = self.make_inferer(state.params)
+        dice_rows, surf_rows, mods = [], [], []
+        losses, vol_accs = [], []
+        for batch in loader:
+            image = jnp.asarray(batch["image"])
+            label = np.asarray(batch["label"])
+            if label.ndim == 5 and label.shape[-1] == 1:
+                label = label[..., 0]
+            modality = batch.get("modality")
+            mod_arr = (jnp.asarray(modality) if modality is not None else None)
+            logits = inferer(image, mod_arr)
+            losses.append(float(self.loss_fn(logits, jnp.asarray(label))))
+            pred = as_discrete(logits, argmax=True, to_onehot=cfg.out_channels)
+            targ = as_discrete(jnp.asarray(label), to_onehot=cfg.out_channels)
+            rows = np.asarray(dice_score(pred, targ, include_background=True))
+            dice_rows.append(rows)
+            vol_accs.append(float(np.nanmean(rows)))
+            if modality is not None:
+                mods.append(np.asarray(modality).reshape(-1))
+            if compute_surface:
+                surf_rows.append(surface_distance(
+                    np.asarray(pred), np.asarray(targ),
+                    include_background=cfg.include_background))
+
+        dice_all = np.concatenate(dice_rows, axis=0)
+        per_class, not_nans = reduce_mean_batch(dice_all)
+        metrics = {f"{prefix}/loss/avg": float(np.mean(losses)),
+                   f"{prefix}/accuracy/avg": float(np.mean(vol_accs))}
+        for c, v in enumerate(per_class.tolist()):
+            metrics[f"{prefix}/accuracy/class_{c}"] = v
+            metrics[f"val_total_dice/class{c}"] = v
+        metrics["val_total_dice/avg"] = nanmean_valid(per_class, not_nans)
+        if mods:
+            mod_all = np.concatenate(mods)
+            metrics.update(metric_by_modality(dice_all, mod_all, "dice"))
+            accs = np.asarray(vol_accs)
+            losses_arr = np.asarray(losses)
+            for m in np.unique(mod_all):
+                sel = mod_all == m
+                metrics[f"{prefix}/accuracy/modality_{int(m)}"] = \
+                    float(np.nanmean(accs[sel]))
+                metrics[f"{prefix}/loss/modality_{int(m)}"] = \
+                    float(np.nanmean(losses_arr[sel]))
+        if compute_surface:
+            surf_all = np.concatenate(surf_rows, axis=0)
+            sc, sn = reduce_mean_batch(surf_all)
+            off = int(not cfg.include_background)
+            for c, v in enumerate(sc.tolist()):
+                metrics[f"val_total_surface_distance/class{c + off}"] = v
+            metrics["val_total_surface_distance/avg"] = nanmean_valid(sc, sn)
+            if mods:
+                metrics.update(metric_by_modality(surf_all, np.concatenate(mods),
+                                                  "surface_distance", off))
+        self.logger.log(metrics, step=epoch)
+        return metrics
+
+    # ---------------------------------------------------------------- fit
+
+    def fit(self, data, *, state: TrainState | None = None,
+            report_callback: Callable[[int, float], bool] | None = None) -> TrainState:
+        """Full training run; `report_callback(epoch, acc) -> should_prune`
+        is the ASHA hook (tune.py:243-248)."""
+        cfg = self.cfg
+        train_loader = data.train_dataloader()
+        val_loader = data.val_dataloader()
+
+        if state is None:
+            first = next(iter(train_loader))
+            state = self.init_state(first["image"][:1],
+                                    np.asarray(first.get("modality", [0]))[:1])
+        start_epoch = 0
+        if cfg.ckpt_path:
+            ck = load_checkpoint(cfg.ckpt_path, params_template=state.params,
+                                 opt_state_template=state.opt_state)
+            state = state.replace(params=ck["params"],
+                                  opt_state=ck["opt_state"] or state.opt_state)
+            start_epoch = int(ck.get("epoch", 0)) + 1
+            if ck.get("scheduler") and hasattr(self.scheduler, "plateau"):
+                self.scheduler.plateau.load_state_dict(ck["scheduler"])
+
+        ckpt = CheckpointManager(f"{self.workdir}/checkpoints",
+                                 monitor="val/accuracy/avg", mode="max",
+                                 save_top_k=cfg.save_top_k)
+        early = EarlyStopping(patience=cfg.patience, min_delta=cfg.min_delta)
+        best_acc = -np.inf
+
+        for epoch in range(start_epoch, cfg.max_epochs):
+            if cfg.scheduler != "reduce_on_plateau":
+                lr = self.scheduler(epoch)
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, lr))
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            epoch_losses = []
+            for batch in train_loader:
+                state, loss = self.train_step(state, batch)
+                epoch_losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in epoch_losses])) \
+                if epoch_losses else float("nan")
+            self.logger.log({"train/loss": train_loss,
+                             "epoch_time_s": time.time() - t0,
+                             "Charts/lr": current_learning_rate(state.opt_state)},
+                            step=epoch)
+
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                metrics = self.evaluate(val_loader, state, epoch=epoch)
+                acc = metrics["val/accuracy/avg"]
+                if cfg.scheduler == "reduce_on_plateau":
+                    lr = self.scheduler(epoch, metrics["val/loss/avg"])
+                    state = state.replace(
+                        opt_state=set_learning_rate(state.opt_state, lr))
+                sched_state = (self.scheduler.plateau.state_dict()
+                               if hasattr(self.scheduler, "plateau") else None)
+                ckpt.save(acc, params=state.params, opt_state=state.opt_state,
+                          epoch=epoch, scheduler_state=sched_state)
+                if acc > best_acc:
+                    best_acc = acc
+                    save_checkpoint(f"{self.workdir}/best.ckpt",
+                                    params=state.params,
+                                    opt_state=state.opt_state, epoch=epoch,
+                                    best_acc=acc, scheduler_state=sched_state)
+                save_checkpoint(f"{self.workdir}/last.ckpt", params=state.params,
+                                opt_state=state.opt_state, epoch=epoch,
+                                best_acc=best_acc, scheduler_state=sched_state)
+                if report_callback is not None and report_callback(epoch, acc):
+                    break
+                if early.update(acc):
+                    self.logger.log({"early_stop_epoch": epoch}, step=epoch)
+                    break
+        return state

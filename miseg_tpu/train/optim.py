@@ -1,0 +1,88 @@
+"""Optimizer factory: Adam / AdamW / SGD(+nesterov) with weight decay,
+freeze-encoder masking, and gradient accumulation.
+
+Reference parity:
+  * `optimizer_from_argparse_args` (utils/training_utils.py:39-62) —
+    adam/adamw/sgd(momentum=0.99, nesterov), weight_decay=`reg_weight`;
+  * gradient accumulation — `optax.MultiSteps` replaces the raw loop's
+    scale/no_sync bookkeeping (utils/trainer.py:33-78); grads are averaged
+    over `iters_to_accumulate` micro-steps, matching loss/k scaling;
+  * `freeze_encoder` — torch `requires_grad_(False)` on encoder subtrees
+    (e.g. unetr.py:205-211) maps to `optax.multi_transform` with
+    `set_to_zero` on params under the model's `ENCODER_PREFIXES`.
+
+The learning rate is injected via `optax.inject_hyperparams` so host-side
+(per-epoch / plateau) schedules update it without recompiling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import optax
+
+
+def _base_optimizer(cfg, learning_rate):
+    name = cfg.optim_name
+    if name == "adam":
+        # torch Adam's weight_decay is L2-added-to-grad, not decoupled
+        return optax.chain(optax.add_decayed_weights(cfg.reg_weight),
+                           optax.scale_by_adam(),
+                           optax.scale_by_learning_rate(learning_rate))
+    if name == "adamw":
+        return optax.adamw(learning_rate, weight_decay=cfg.reg_weight)
+    if name == "sgd":
+        return optax.chain(optax.add_decayed_weights(cfg.reg_weight),
+                           optax.sgd(learning_rate, momentum=cfg.momentum,
+                                     nesterov=True))
+    raise ValueError(f"Optimization {name} not implemented, please chose another optimizer.")
+
+
+def freeze_mask(params, prefixes: Sequence[str]):
+    """Label each param leaf 'freeze' if its top-level module matches."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return "freeze" if any(top == p or top.startswith(p) for p in prefixes) \
+            else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def optimizer_from_config(cfg, params=None, encoder_prefixes: Sequence[str] = ()):
+    """Build the full optax transform (lr-injected, masked, accumulated)."""
+
+    def make(learning_rate):
+        opt = _base_optimizer(cfg, learning_rate)
+        if cfg.freeze_encoder and params is not None and encoder_prefixes:
+            labels = freeze_mask(params, encoder_prefixes)
+            opt = optax.multi_transform(
+                {"train": opt, "freeze": optax.set_to_zero()}, labels)
+        return opt
+
+    tx = optax.inject_hyperparams(make)(learning_rate=cfg.lr)
+    if cfg.iters_to_accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.iters_to_accumulate)
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Write a new lr into an inject_hyperparams state (MultiSteps-aware)."""
+    import jax.numpy as jnp
+    inner = opt_state
+    if hasattr(inner, "inner_opt_state"):  # MultiSteps wrapper
+        hyper = inner.inner_opt_state.hyperparams
+        hyper["learning_rate"] = jnp.asarray(lr, dtype=hyper["learning_rate"].dtype)
+        return opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=opt_state.hyperparams["learning_rate"].dtype)
+    return opt_state
+
+
+def current_learning_rate(opt_state) -> float:
+    inner = opt_state
+    if hasattr(inner, "inner_opt_state"):
+        return float(inner.inner_opt_state.hyperparams["learning_rate"])
+    return float(opt_state.hyperparams["learning_rate"])
