@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: 96³-patch sliding-window inference throughput (patches/sec/chip).
+
+The north-star metric from BASELINE.json: C-Swin-UNETR (feature_size=48,
+instance_cond encoder+vit norms) sliding-window inference over a
+224³ volume with 96³ ROI and 0.5 overlap — counts predictor window
+evaluations per second on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (SURVEY §6); `vs_baseline` compares
+against `BENCH_BASELINE.json` if present (a previously recorded run),
+else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miseg_tpu.config import Config
+    from miseg_tpu.inferers import SlidingWindowInferer, dense_patch_starts, scan_interval
+    from miseg_tpu.models import model_from_config
+
+    on_tpu = any("tpu" in (getattr(d, "platform", "") or "").lower()
+                 or "tpu" in str(d).lower() for d in jax.devices())
+    # CPU fallback uses a small config so CI stays fast; TPU runs the real one
+    if on_tpu:
+        fs, heads, roi, vol, sw_bs, out_ch = 48, 3, (96, 96, 96), (224, 224, 224), 4, 6
+    else:
+        fs, heads, roi, vol, sw_bs, out_ch = 12, 2, (32, 32, 32), (64, 64, 64), 2, 6
+
+    cfg = Config(model_name="swin_unetr", out_channels=out_ch,
+                 feature_size=[fs], num_heads=heads,
+                 roi_x=roi[0], roi_y=roi[1], roi_z=roi[2],
+                 encoder_norm_name="instance_cond", vit_norm_name="instance_cond",
+                 decoder_norm_name="instance")
+    model = model_from_config(cfg)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.random((1, *roi, 1), np.float32))
+    mods = jnp.zeros((1,), jnp.int32)
+    variables = model.init({"params": jax.random.key(0)}, x0, mods)
+    # bf16 params for the TPU compute path
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables["params"])
+
+    def predict(w, m):
+        return model.apply({"params": params}, w.astype(jnp.bfloat16), m).astype(jnp.float32)
+
+    inferer = SlidingWindowInferer(predict, roi_size=roi, sw_batch_size=sw_bs,
+                                   overlap=cfg.infer_overlap, mode="gaussian",
+                                   out_channels=out_ch)
+    volume = jnp.asarray(rng.random((1, *vol, 1), np.float32))
+    modality = jnp.zeros((1,), jnp.int32)
+
+    n_windows = len(dense_patch_starts(vol, roi, scan_interval(roi, cfg.infer_overlap)))
+
+    # warmup (compile)
+    t_c = time.perf_counter()
+    out = inferer(volume, modality)
+    jax.block_until_ready(out)
+    print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s "
+          f"({n_windows} windows)", file=sys.stderr)
+    reps = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = inferer(volume, modality)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    patches_per_sec = n_windows / dt
+
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                baseline = json.load(f).get("value")
+        except Exception:
+            baseline = None
+    vs = patches_per_sec / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": "sliding_window_96cubed_patches_per_sec_per_chip"
+                  if on_tpu else "sliding_window_small_patches_per_sec_cpu",
+        "value": round(patches_per_sec, 3),
+        "unit": "patches/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

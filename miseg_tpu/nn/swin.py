@@ -92,20 +92,33 @@ class WindowAttention(nn.Module):
         index = _rel_pos_index(self.window_size)[:n, :n].reshape(-1)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (head_dim ** -0.5)
         rel_bias = bias_table[jnp.asarray(index)].reshape(n, n, -1)
-        attn = attn + rel_bias.transpose(2, 0, 1).astype(attn.dtype)[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b // nw, nw, self.num_heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(b, self.num_heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v).reshape(b, n, c)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # [H, N, N]
+
+        from ..ops.dispatch import use_pallas
+        fuse = use_pallas() and not (train and self.attn_drop > 0)
+        if fuse:
+            from ..ops.pallas import fused_window_attention
+            qkv = qkv.reshape(b, n, 3, c)
+            out = fused_window_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                rel_bias.astype(jnp.float32),
+                mask.astype(jnp.float32) if mask is not None else None,
+                num_heads=self.num_heads)
+        else:
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (head_dim ** -0.5)
+            attn = attn + rel_bias.astype(attn.dtype)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b // nw, nw, self.num_heads, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(b, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v).reshape(b, n, c)
         out = nn.Dense(c, name="proj")(out)
         return nn.Dropout(rate=self.proj_drop)(out, deterministic=not train)
 

@@ -1,0 +1,20 @@
+"""Kernel dispatch: choose Pallas-fused vs plain-XLA implementations.
+
+Policy: Pallas kernels are ON when running on TPU, OFF elsewhere (the
+interpreter is correct but slow).  Override with MISEG_PALLAS=0/1.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+
+@functools.lru_cache(maxsize=1)
+def use_pallas() -> bool:
+    env = os.environ.get("MISEG_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return jax.default_backend() in ("tpu", "axon")

@@ -6,11 +6,13 @@ driver separately dry-run-compiles the multi-chip path).
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from miseg_tpu.utils.platform import force_cpu_devices
+
+force_cpu_devices(8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,101 @@
+"""HPO: samplers, ASHA pruner, study lifecycle + journal resume."""
+
+import numpy as np
+import pytest
+
+from miseg_tpu.hpo import (RandomSampler, SuccessiveHalvingPruner, TPESampler,
+                           TrialPruned, create_study)
+
+
+def test_study_optimize_finds_optimum(tmp_path):
+    study = create_study(storage=str(tmp_path / "j.jsonl"),
+                         sampler=TPESampler(seed=0, n_startup_trials=5))
+
+    def objective(trial):
+        x = trial.suggest_float("x", -5, 5)
+        c = trial.suggest_categorical("c", ["a", "b"])
+        return -(x - 2.0) ** 2 + (1.0 if c == "b" else 0.0)
+
+    study.optimize(objective, n_trials=40)
+    best = study.best_trial
+    assert best.value > -1.0
+    assert abs(best.params["x"] - 2.0) < 1.5
+
+
+def test_tpe_beats_random_on_average():
+    def run(sampler):
+        study = create_study(sampler=sampler)
+        study.optimize(lambda t: -(t.suggest_float("x", 0, 10) - 7) ** 2,
+                       n_trials=30)
+        return study.best_trial.value
+
+    tpe = run(TPESampler(seed=1, n_startup_trials=8))
+    assert tpe > -4.0  # converges near x=7
+
+
+def test_log_scale_suggestion():
+    study = create_study(sampler=RandomSampler(seed=0))
+    t = study.ask()
+    vals = [t.suggest_float(f"lr{i}", 1e-5, 1e-1, log=True) for i in range(50)]
+    assert all(1e-5 <= v <= 1e-1 for v in vals)
+    # log-uniform: median far below the arithmetic midpoint
+    assert np.median(vals) < 5e-2
+
+
+def test_int_and_categorical_types():
+    study = create_study()
+    t = study.ask()
+    assert isinstance(t.suggest_int("n", 2, 5), int)
+    assert t.suggest_categorical("c", [8, 16]) in (8, 16)
+    # repeated suggest returns the same cached value
+    assert t.suggest_int("n", 2, 5) == t.params["n"]
+
+
+def test_asha_pruner_prunes_bad_trials():
+    pruner = SuccessiveHalvingPruner(min_resource=2, reduction_factor=2)
+    study = create_study(pruner=pruner)
+
+    # seed history: several good trials reporting high values
+    for q in (0.9, 0.8, 0.85):
+        t = study.ask()
+        for step in range(4):
+            t.report(q, step)
+        study.tell(t, q)
+
+    bad = study.ask()
+    bad.report(0.1, 0)
+    assert not bad.should_prune()  # below min_resource
+    bad.report(0.1, 1)
+    assert bad.should_prune()      # rung 0 reached, bottom of the pack
+
+    good = study.ask()
+    good.report(0.95, 0)
+    good.report(0.95, 1)
+    assert not good.should_prune()
+
+
+def test_journal_resume(tmp_path):
+    path = str(tmp_path / "journal.jsonl")
+    s1 = create_study(storage=path)
+    t = s1.ask()
+    t.suggest_float("x", 0, 1)
+    t.report(0.5, 0)
+    s1.tell(t, 0.5)
+
+    s2 = create_study(storage=path, load_if_exists=True)
+    assert len(s2.trials) == 1
+    assert s2.trials[0].value == 0.5
+    assert "x" in s2.trials[0].params
+    assert s2.trials[0].intermediate == {0: 0.5}
+
+
+def test_pruned_trials_recorded(tmp_path):
+    study = create_study(storage=str(tmp_path / "j.jsonl"))
+
+    def objective(trial):
+        trial.suggest_float("x", 0, 1)
+        raise TrialPruned()
+
+    study.optimize(objective, n_trials=3)
+    assert all(t.state == "pruned" for t in study.trials)
+    assert study.best_trial is None

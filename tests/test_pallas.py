@@ -1,0 +1,114 @@
+"""Pallas kernels vs jnp reference implementations (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miseg_tpu.ops.norms import conditional_instance_norm
+from miseg_tpu.ops.pallas import (fused_conditional_instance_norm,
+                                  fused_window_attention)
+
+
+@pytest.fixture
+def cin_case(rng):
+    x = rng.standard_normal((2, 8, 8, 8, 16)).astype(np.float32)
+    styles = np.array([0, 1], np.int32)
+    gamma = rng.standard_normal((2, 16)).astype(np.float32) + 1.0
+    beta = rng.standard_normal((2, 16)).astype(np.float32)
+    return map(jnp.asarray, (x, styles, gamma, beta))
+
+
+def test_fused_cin_matches_reference(cin_case):
+    x, styles, gamma, beta = cin_case
+    want = conditional_instance_norm(x, styles, gamma, beta)
+    got = fused_conditional_instance_norm(x, styles, gamma, beta,
+                                          interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_cin_with_leaky_relu(cin_case):
+    x, styles, gamma, beta = cin_case
+    want = jax.nn.leaky_relu(
+        conditional_instance_norm(x, styles, gamma, beta), 0.01)
+    got = fused_conditional_instance_norm(x, styles, gamma, beta,
+                                          negative_slope=0.01, interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_cin_gradients(cin_case):
+    x, styles, gamma, beta = cin_case
+
+    def loss_fused(x, g, b):
+        y = fused_conditional_instance_norm(x, styles, g, b, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, g, b):
+        y = conditional_instance_norm(x, styles, g, b)
+        return jnp.sum(jnp.sin(y))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b_ in zip(gf, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4), \
+            (np.abs(np.asarray(a) - np.asarray(b_)).max())
+
+
+def _jnp_window_attention(q, k, v, bias, mask, num_heads):
+    b, n, c = q.shape
+    hd = c // num_heads
+    qh = q.reshape(b, n, num_heads, hd)
+    kh = k.reshape(b, n, num_heads, hd)
+    vh = v.reshape(b, n, num_heads, hd)
+    attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
+    attn = attn + bias[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(b // nw, nw, num_heads, n, n) + mask[None, :, None]
+        attn = attn.reshape(b, num_heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(b, n, c)
+
+
+@pytest.fixture
+def attn_case(rng):
+    bw, n, c, h = 4, 27, 12, 3  # 3³ window
+    mk = lambda: jnp.asarray(rng.standard_normal((bw, n, c)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((2, n, n)) > 0.8, -100.0, 0.0)
+                       .astype(np.float32))
+    return q, k, v, bias, mask, h
+
+
+def test_fused_attention_matches_reference(attn_case):
+    q, k, v, bias, mask, h = attn_case
+    want = _jnp_window_attention(q, k, v, bias, None, h)
+    got = fused_window_attention(q, k, v, bias, None, num_heads=h,
+                                 interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_attention_with_mask(attn_case):
+    q, k, v, bias, mask, h = attn_case
+    want = _jnp_window_attention(q, k, v, bias, mask, h)
+    got = fused_window_attention(q, k, v, bias, mask, num_heads=h,
+                                 interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_attention_gradients(attn_case):
+    q, k, v, bias, mask, h = attn_case
+
+    def loss(fn):
+        def inner(q, k, v, bias):
+            return jnp.sum(jnp.tanh(fn(q, k, v, bias)))
+        return inner
+
+    fused = loss(lambda *a: fused_window_attention(*a, mask, num_heads=h,
+                                                   interpret=True))
+    ref = loss(lambda *a: _jnp_window_attention(*a, mask, h))
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gf, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)

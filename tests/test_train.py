@@ -1,0 +1,175 @@
+"""Training engine units: schedules, optimizer masking, checkpoints, a
+full tiny fit, and pretrained-weight merging."""
+
+import numpy as np
+import pytest
+
+from miseg_tpu.config import Config
+from miseg_tpu.train.schedules import (PlateauScheduler, cosine_annealing,
+                                       scheduler_from_config, warmup_cosine)
+
+
+def test_warmup_cosine_shape():
+    lr = 1e-3
+    vals = [warmup_cosine(e, lr=lr, warmup_epochs=5, t_total=20) for e in range(20)]
+    assert vals[0] == 0.0
+    assert vals[4] == pytest.approx(lr * 4 / 5)
+    assert vals[5] == pytest.approx(lr)
+    assert vals[-1] < lr * 0.05
+
+
+def test_cosine_annealing():
+    assert cosine_annealing(0, lr=1.0, t_max=10) == pytest.approx(1.0)
+    assert cosine_annealing(10, lr=1.0, t_max=10) == pytest.approx(0.0)
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(1.0, patience=1, factor=0.1)
+    assert s.step(1.0) == 1.0
+    assert s.step(1.0) == 1.0   # bad 1
+    assert s.step(1.0) == 0.1   # bad 2 > patience → drop
+    assert s.step(0.5) == 0.1   # improvement resets
+
+
+def test_scheduler_from_config_dispatch():
+    for name in ("warmup_cosine", "cosine", "reduce_on_plateau", "none"):
+        fn = scheduler_from_config(Config(scheduler=name, max_epochs=10))
+        assert np.isfinite(fn(1, 0.5))
+    with pytest.raises(ValueError):
+        scheduler_from_config(Config(scheduler="bogus"))
+
+
+def test_freeze_mask():
+    import jax.numpy as jnp
+
+    from miseg_tpu.train.optim import freeze_mask
+    params = {"vit": {"w": jnp.ones(2)}, "out": {"w": jnp.ones(2)}}
+    labels = freeze_mask(params, ("vit",))
+    assert labels["vit"]["w"] == "freeze"
+    assert labels["out"]["w"] == "train"
+
+
+def test_optimizer_lr_injection():
+    import jax.numpy as jnp
+
+    from miseg_tpu.train.optim import (current_learning_rate,
+                                       optimizer_from_config,
+                                       set_learning_rate)
+    cfg = Config(optim_name="adamw", lr=1e-3)
+    params = {"w": jnp.ones(3)}
+    tx = optimizer_from_config(cfg, params)
+    st = tx.init(params)
+    assert current_learning_rate(st) == pytest.approx(1e-3)
+    st = set_learning_rate(st, 5e-4)
+    assert current_learning_rate(st) == pytest.approx(5e-4)
+    g = {"w": jnp.ones(3)}
+    up, st2 = tx.update(g, st, params)
+    assert np.isfinite(np.asarray(up["w"])).all()
+
+
+def test_optimizer_accumulation():
+    import jax.numpy as jnp
+    import optax
+
+    from miseg_tpu.train.optim import optimizer_from_config
+    cfg = Config(optim_name="sgd", lr=1.0, reg_weight=0.0, momentum=0.0,
+                 iters_to_accumulate=2)
+    params = {"w": jnp.zeros(1)}
+    tx = optimizer_from_config(cfg, params)
+    st = tx.init(params)
+    up1, st = tx.update({"w": jnp.ones(1)}, st, params)
+    assert np.allclose(np.asarray(up1["w"]), 0.0)  # mini-step: no update yet
+    up2, st = tx.update({"w": jnp.ones(1) * 3}, st, params)
+    # averaged grad (1+3)/2=2 → sgd lr 1 (nesterov, momentum 0) → -2
+    assert np.asarray(up2["w"])[0] == pytest.approx(-2.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from miseg_tpu.train.checkpoint import (CheckpointManager, load_checkpoint,
+                                            save_checkpoint)
+    params = {"a": {"w": jnp.asarray(rng.random((3, 2)), jnp.float32)}}
+    save_checkpoint(tmp_path / "x.ckpt", params=params, epoch=7, best_acc=0.5)
+    ck = load_checkpoint(tmp_path / "x.ckpt", params_template=params)
+    assert np.allclose(np.asarray(ck["params"]["a"]["w"]),
+                       np.asarray(params["a"]["w"]))
+    assert ck["epoch"] == 7
+
+    mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=2)
+    for e, acc in enumerate([0.1, 0.5, 0.3, 0.7]):
+        mgr.save(acc, params=params, epoch=e)
+    import os
+    files = [f for f in os.listdir(tmp_path / "ckpts") if f.endswith(".ckpt")]
+    assert "last.ckpt" in files
+    assert len([f for f in files if f != "last.ckpt"]) == 2  # top-2 kept
+    assert "0.7000" in mgr.best_path
+
+
+def test_partial_load_skips_mismatched_head(rng):
+    from miseg_tpu.train.pretrained import partial_load
+    tgt = {"enc": {"w": np.zeros((3, 3))}, "out": {"w": np.zeros((3, 6))}}
+    src = {"enc": {"w": np.ones((3, 3))}, "out": {"w": np.ones((3, 14))}}
+    merged = partial_load(tgt, src, verbose=False)
+    assert np.allclose(merged["enc"]["w"], 1.0)       # loaded
+    assert np.allclose(merged["out"]["w"], 0.0)       # shape skip → init kept
+
+
+def test_swin_vit_torch_import(tmp_path):
+    """Round-trip a torch-style swin-ViT state dict into flax params."""
+    import torch
+
+    from miseg_tpu.train.pretrained import load_swin_vit_torch
+    c = 6
+    sd = {
+        "module.patch_embed.proj.weight": torch.randn(c, 1, 2, 2, 2),
+        "module.patch_embed.proj.bias": torch.randn(c),
+        "module.layers1.0.blocks.0.norm1.weight": torch.randn(c),
+        "module.layers1.0.blocks.0.norm1.bias": torch.randn(c),
+        "module.layers1.0.blocks.0.attn.qkv.weight": torch.randn(3 * c, c),
+        "module.layers1.0.blocks.0.mlp.fc1.weight": torch.randn(4 * c, c),
+        "module.layers1.0.downsample.reduction.weight": torch.randn(2 * c, 8 * c),
+    }
+    torch.save({"state_dict": sd}, tmp_path / "swinvit.pt")
+    params = {"swinViT": {
+        "patch_embed": {"proj": {"kernel": np.zeros((2, 2, 2, 1, c)),
+                                 "bias": np.zeros(c)}},
+        "layers1": {"blocks_0": {
+            "norm1": {"scale": np.zeros(c), "bias": np.zeros(c)},
+            "attn": {"qkv": {"kernel": np.zeros((c, 3 * c))}},
+            "mlp": {"linear1": {"kernel": np.zeros((c, 4 * c))}}},
+            "downsample": {"reduction": {"kernel": np.zeros((8 * c, 2 * c))}}},
+    }}
+    out = load_swin_vit_torch(tmp_path / "swinvit.pt", params, verbose=False)
+    sub = out["swinViT"]
+    assert np.allclose(sub["patch_embed"]["proj"]["kernel"],
+                       sd["module.patch_embed.proj.weight"].permute(2, 3, 4, 1, 0).numpy())
+    assert np.allclose(sub["layers1"]["blocks_0"]["attn"]["qkv"]["kernel"],
+                       sd["module.layers1.0.blocks.0.attn.qkv.weight"].numpy().T)
+    assert np.allclose(sub["layers1"]["blocks_0"]["mlp"]["linear1"]["kernel"],
+                       sd["module.layers1.0.blocks.0.mlp.fc1.weight"].numpy().T)
+
+
+def test_tiny_fit_end_to_end(tmp_path):
+    """2-epoch conditional UNet on synthetic CT+MR with eval + ckpt."""
+    from miseg_tpu.data.multi_modal import MultiModalData
+    from miseg_tpu.data.synthetic import make_synthetic_dataset
+    from miseg_tpu.train.engine import Trainer
+    make_synthetic_dataset(tmp_path, shape=(24, 24, 24), num_classes=2,
+                           n_train=1, n_val=1, n_test=1)
+    cfg = Config(model_name="unet", roi_x=16, roi_y=16, roi_z=16,
+                 out_channels=2, feature_size=[2], num_layers=2, strides=[2],
+                 num_res_units=1, encoder_norm_name="instance_cond",
+                 decoder_norm_name="instance", criterion="dice_ce",
+                 data_dirs=[str(tmp_path)] * 2, json_lists=["CT.json", "MR.json"],
+                 max_epochs=2, check_val_every_n_epoch=1, batch_size=2,
+                 patches_training_sample=1, scheduler="none", cache_num=0,
+                 use_normal_dataset=True, num_workers=0, no_amp=True,
+                 precision="fp32", patience=10,
+                 default_root_dir=str(tmp_path / "exp"))
+    trainer = Trainer(cfg, workdir=str(tmp_path / "exp"))
+    state = trainer.fit(MultiModalData(cfg))
+    assert int(state.step) == 2
+    metrics = trainer.evaluate(MultiModalData(cfg).val_dataloader(), state)
+    assert "val/accuracy/avg" in metrics
+    assert (tmp_path / "exp" / "best.ckpt").exists()
