@@ -25,6 +25,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from miseg_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
+
     from miseg_tpu.config import Config
     from miseg_tpu.inferers import SlidingWindowInferer, dense_patch_starts, scan_interval
     from miseg_tpu.models import model_from_config

@@ -208,15 +208,14 @@ class Spacingd(Transform):
 
     @staticmethod
     def _resample(arr, matrix, out_shape, order):
-        from scipy import ndimage
+        from .. import native
         has_c = arr.ndim == 4
         chans = []
         for c in range(arr.shape[-1] if has_c else 1):
-            vol = arr[..., c] if has_c else arr
-            res = ndimage.affine_transform(
-                vol, matrix[:3, :3], offset=matrix[:3, 3],
-                output_shape=tuple(out_shape), order=order, mode="constant",
-                cval=0.0, prefilter=False)
+            vol = np.ascontiguousarray(arr[..., c] if has_c else arr,
+                                       dtype=np.float32)
+            res = native.resample_affine(vol, matrix[:3, :3], matrix[:3, 3],
+                                         tuple(out_shape), order)
             chans.append(res)
         out = np.stack(chans, axis=-1) if has_c else chans[0]
         return out.astype(np.float32)

@@ -172,24 +172,20 @@ def metric_by_modality(vals: np.ndarray, modalities: np.ndarray,
 
 # ------------------------------------------------------- surface distance
 
-def _binary_erosion(mask: np.ndarray) -> np.ndarray:
-    from scipy import ndimage
-    return ndimage.binary_erosion(mask, iterations=1, border_value=1)
-
-
 def _mask_edges(mask: np.ndarray) -> np.ndarray:
     """Surface voxels: mask XOR erosion(mask)."""
+    from . import native
     if not mask.any():
         return np.zeros_like(mask, dtype=bool)
-    return mask ^ _binary_erosion(mask)
+    return mask ^ native.binary_erosion(mask)
 
 
 def _surface_distances(src_edges: np.ndarray, dst_edges: np.ndarray) -> np.ndarray:
     """Euclidean distance of each src surface voxel to the dst surface."""
-    from scipy import ndimage
+    from . import native
     if not dst_edges.any():
         return np.full(int(src_edges.sum()), np.inf)
-    dist = ndimage.distance_transform_edt(~dst_edges)
+    dist = native.edt(dst_edges)
     return np.asarray(dist[src_edges], dtype=np.float64)
 
 

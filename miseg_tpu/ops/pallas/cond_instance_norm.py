@@ -33,11 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _pick_chunk(n: int, c: int, budget_bytes: int = 2 * 1024 * 1024) -> int:
+def _pick_chunk(n: int, c: int, budget_bytes: int = 256 * 1024) -> int:
     """N-chunk: a multiple-of-8 divisor of n within the VMEM budget, else n.
 
     Mosaic requires the block's sublane dim be divisible by 8 or equal to
-    the full array dim.
+    the full array dim; it also stack-allocates several block-sized
+    temporaries (cast, normalized, affine, act), so blocks stay ≤256KB to
+    keep well under the 16MB scoped-vmem limit with pipelining.
     """
     chunk = max(8, budget_bytes // (4 * max(c, 1)))
     chunk = min(chunk - chunk % 8, n)

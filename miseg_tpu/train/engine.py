@@ -83,6 +83,8 @@ class EarlyStopping:
 class Trainer:
     def __init__(self, cfg: Config, model=None, mesh=None,
                  workdir: str | None = None, logger: MetricLogger | None = None):
+        from ..utils.platform import enable_compile_cache
+        enable_compile_cache()
         self.cfg = cfg
         self.model = model if model is not None else model_from_config(cfg)
         self.mesh = mesh if mesh is not None else make_mesh(

@@ -27,6 +27,21 @@ def force_cpu_devices(n: int = 8) -> None:
         pass
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (remote-compile TPU paths are slow;
+    the cache makes second runs of bench/train start in seconds)."""
+    import jax
+    cache_dir = path or os.environ.get("MISEG_COMPILE_CACHE",
+                                       os.path.expanduser("~/.cache/miseg_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def honor_env_platform() -> None:
     """Re-assert JAX_PLATFORMS from the env over any site-hook override."""
     want = os.environ.get("JAX_PLATFORMS")
