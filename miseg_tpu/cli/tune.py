@@ -27,6 +27,65 @@ from ..train.engine import Trainer
 from ..utils.logging import MetricLogger
 
 
+class MultiHostTrial:
+    """Host-0-suggests trial proxy (the `TorchDistributedTrial` analog,
+    tune.py:81-82): parameter values and prune decisions are broadcast to
+    every host with `multihost_utils.broadcast_one_to_all`."""
+
+    def __init__(self, trial):
+        self._trial = trial
+        self.number = trial.number if trial is not None else -1
+        self.params = {}
+
+    def _bcast(self, value: float) -> float:
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        arr = jnp.asarray(float(value) if value is not None else 0.0)
+        return float(multihost_utils.broadcast_one_to_all(arr))
+
+    def _suggest(self, fn_name, name, *args, **kw):
+        import jax
+        if jax.process_index() == 0:
+            v = getattr(self._trial, fn_name)(name, *args, **kw)
+        else:
+            v = None
+        out = self._bcast(v if isinstance(v, (int, float)) else 0.0)
+        self.params[name] = out
+        return out
+
+    def suggest_float(self, name, low, high, *, log=False):
+        return self._suggest("suggest_float", name, low, high, log=log)
+
+    def suggest_int(self, name, low, high):
+        return int(self._suggest("suggest_int", name, low, high))
+
+    def suggest_categorical(self, name, choices):
+        idx_choices = list(range(len(choices)))
+        import jax
+        if jax.process_index() == 0:
+            v = self._trial.suggest_categorical(name, list(choices))
+            idx = list(choices).index(v)
+        else:
+            idx = 0
+        idx = int(self._bcast(idx))
+        self.params[name] = choices[idx]
+        return choices[idx]
+
+    def report(self, value, step):
+        import jax
+        if jax.process_index() == 0:
+            self._trial.report(value, step)
+
+    def should_prune(self) -> bool:
+        import jax
+        if jax.process_index() == 0:
+            decision = 1.0 if self._trial.should_prune() else 0.0
+        else:
+            decision = 0.0
+        return bool(self._bcast(decision))
+
+
 def set_trial_config(trial, cfg: Config) -> Config:
     """Per-model search space (tune.py:41-77)."""
     over: dict = {
@@ -59,6 +118,9 @@ def set_trial_config(trial, cfg: Config) -> Config:
 
 
 def objective(base_cfg: Config, trial) -> float:
+    import jax
+    if jax.process_count() > 1:
+        trial = MultiHostTrial(trial)
     cfg = set_trial_config(trial, base_cfg)
     logdir = os.path.join(cfg.default_root_dir, cfg.study_name,
                           str(trial.number))

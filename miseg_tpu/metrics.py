@@ -63,6 +63,59 @@ def dice_score(pred_onehot: Array, target_onehot: Array, *,
     return jnp.where(denom > 0, dice, 1.0)
 
 
+def generalized_dice_score(pred_onehot: Array, target_onehot: Array, *,
+                           include_background: bool = True,
+                           weight_type: str = "square") -> Array:
+    """Per-sample generalized Dice score → `[B]` (MONAI GeneralizedDiceScore).
+
+    w_c = 1/(Σt_c)^2 ("square"), 1/Σt_c ("simple"), or 1 ("uniform");
+    empty-class weights get the row max.
+    """
+    if not include_background:
+        pred_onehot = pred_onehot[..., 1:]
+        target_onehot = target_onehot[..., 1:]
+    axes = tuple(range(1, pred_onehot.ndim - 1))
+    p = pred_onehot.astype(jnp.float32)
+    t = target_onehot.astype(jnp.float32)
+    intersection = jnp.sum(p * t, axis=axes)
+    denom = jnp.sum(p, axis=axes) + jnp.sum(t, axis=axes)
+    ground_o = jnp.sum(t, axis=axes)
+    if weight_type == "square":
+        w = 1.0 / jnp.square(jnp.maximum(ground_o, 1e-38))
+    elif weight_type == "simple":
+        w = 1.0 / jnp.maximum(ground_o, 1e-38)
+    else:
+        w = jnp.ones_like(ground_o)
+    finite = ground_o > 0
+    row_max = jnp.max(jnp.where(finite, w, -jnp.inf), axis=-1, keepdims=True)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    w = jnp.where(finite, w, row_max)
+    numer = 2.0 * jnp.sum(intersection * w, axis=-1)
+    den = jnp.sum(denom * w, axis=-1)
+    return jnp.where(den > 0, numer / den, 1.0)
+
+
+class LossMetric:
+    """Streaming scalar-loss accumulator (MONAI LossMetric analog)."""
+
+    def __init__(self, loss_fn):
+        self.loss_fn = loss_fn
+        self._vals: list[float] = []
+
+    def __call__(self, logits, labels) -> float:
+        v = float(self.loss_fn(logits, labels))
+        self._vals.append(v)
+        return v
+
+    def aggregate(self, reduction: str = "mean") -> float:
+        if not self._vals:
+            return float("nan")
+        return float(np.mean(self._vals))
+
+    def reset(self) -> None:
+        self._vals = []
+
+
 # ------------------------------------------------------------- reductions
 
 def reduce_mean_batch(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

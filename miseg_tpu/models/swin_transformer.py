@@ -27,7 +27,7 @@ import numpy as np
 
 from ..nn.swin import PatchEmbed, PatchMergingV2, SwinTransformerBlock
 from ..ops.norms import instance_norm, layer_norm
-from ..ops.window import compute_mask, get_window_size
+from ..ops.window import compute_mask_jnp, get_window_size
 
 NormSpec = tuple[str, dict[str, Any]] | str
 
@@ -59,7 +59,7 @@ class BasicLayer(nn.Module):
             spatial, tuple(self.window_size),
             tuple(w // 2 for w in self.window_size))
         padded = tuple(int(math.ceil(s / w)) * w for s, w in zip(spatial, window_size))
-        attn_mask = compute_mask(padded, tuple(window_size), tuple(shift_size))
+        attn_mask = compute_mask_jnp(padded, tuple(window_size), tuple(shift_size))
         no_shift = (0,) * len(window_size)
 
         block_cls = SwinTransformerBlock

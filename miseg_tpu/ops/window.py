@@ -70,8 +70,11 @@ def window_reverse(windows: jax.Array, window_size, dims) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=64)
-def compute_mask(dims: tuple, window_size: tuple, shift_size: tuple) -> jax.Array | None:
+def compute_mask(dims: tuple, window_size: tuple, shift_size: tuple) -> np.ndarray | None:
     """Shifted-window attention mask, `[nW, N, N]` of {0, -100}, or None.
+
+    Returns NUMPY (constant-folded at trace time); caching a jnp array
+    would leak tracers across jit scopes.
 
     Static precompute: positions are labeled with a region id by the same
     3-segment slicing as the reference (swin_utils.py:107-143); windows
@@ -105,5 +108,37 @@ def compute_mask(dims: tuple, window_size: tuple, shift_size: tuple) -> jax.Arra
         x = x.reshape(1, h // wh, wh, w // ww, ww, 1)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww)
     diff = x[:, None, :] - x[:, :, None]
-    mask = np.where(diff != 0, ATTN_MASK_VALUE, 0.0).astype(np.float32)
-    return jnp.asarray(mask)
+    return np.where(diff != 0, ATTN_MASK_VALUE, 0.0).astype(np.float32)
+
+
+def _region_ids_1d(dim: int, ws: int, ss: int) -> jax.Array:
+    """Per-position region id along one axis (0/1/2 segments)."""
+    if ss == 0 or ws >= dim:
+        return jnp.zeros((dim,), jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0)[:, 0]
+    return ((pos >= dim - ws).astype(jnp.int32)
+            + (pos >= dim - ss).astype(jnp.int32))
+
+
+def compute_mask_jnp(dims, window_size, shift_size) -> jax.Array | None:
+    """On-device shifted-window mask `[nW, N, N]` (≡ `compute_mask`).
+
+    Built from iota comparisons instead of a host numpy table so the big
+    stage-1 mask (e.g. 343×343×343 f32 ≈ 161MB) is computed at runtime
+    rather than embedded as an HLO constant — large baked constants made
+    full-model compiles pathologically slow on the remote-compile path.
+    """
+    if not any(shift_size):
+        return None
+    axes = [_region_ids_1d(d, w, s)
+            for d, w, s in zip(dims, window_size, shift_size)]
+    nd = len(dims)
+    region = axes[0].reshape(-1, *([1] * (nd - 1)))
+    for i, a in enumerate(axes[1:], start=1):
+        shape = [1] * nd
+        shape[i] = -1
+        region = region * 3 + a.reshape(shape)
+    region = region[None, ..., None].astype(jnp.float32)  # [1, *dims, 1]
+    win = window_partition(region, window_size)[..., 0]   # [nW, N]
+    diff = win[:, None, :] - win[:, :, None]
+    return jnp.where(diff != 0, ATTN_MASK_VALUE, 0.0).astype(jnp.float32)

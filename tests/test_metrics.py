@@ -68,6 +68,24 @@ def test_metric_by_modality_namespace():
     assert out["val_modality1_dice/avg"] == pytest.approx(0.25)
 
 
+def test_generalized_dice_score_perfect():
+    t = np.zeros((2, 8, 8, 8, 3), np.float32)
+    t[..., 0] = 1
+    t[0, 2:4, 2:4, 2:4, 0] = 0
+    t[0, 2:4, 2:4, 2:4, 1] = 1
+    g = metrics.generalized_dice_score(jnp.asarray(t), jnp.asarray(t))
+    assert np.allclose(np.asarray(g), 1.0)
+
+
+def test_loss_metric_accumulates():
+    lm = metrics.LossMetric(lambda a, b: jnp.mean((a - b) ** 2))
+    lm(jnp.ones(4), jnp.zeros(4))
+    lm(3 * jnp.ones(4), jnp.zeros(4))
+    assert lm.aggregate() == pytest.approx((1 + 9) / 2)
+    lm.reset()
+    assert np.isnan(lm.aggregate())
+
+
 def test_cumulative_buffer():
     c = metrics.Cumulative()
     c.extend(np.ones((2, 3)), np.array([0, 1]))

@@ -66,3 +66,17 @@ def test_compute_mask_matches_loop_reference():
 
 def test_compute_mask_none_when_unshifted():
     assert W.compute_mask((8, 8, 8), (4, 4, 4), (0, 0, 0)) is None
+
+
+def test_compute_mask_jnp_matches_numpy():
+    import numpy as np
+    from miseg_tpu.ops.window import compute_mask, compute_mask_jnp
+    for dims, ws, ss in [((14, 14, 14), (7, 7, 7), (3, 3, 3)),
+                         ((8, 12), (4, 4), (2, 2)),
+                         ((10, 10, 10), (5, 5, 5), (0, 0, 0))]:
+        a = compute_mask(dims, ws, ss)
+        b = compute_mask_jnp(dims, ws, ss)
+        if a is None:
+            assert b is None
+        else:
+            assert np.allclose(np.asarray(b), a)
