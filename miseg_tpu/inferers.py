@@ -156,7 +156,11 @@ class SlidingWindowInferer:
                  sw_batch_size: int = 1, overlap: float = 0.5,
                  mode: str = "constant", sigma_scale: float = 0.125,
                  out_channels: int | None = None,
-                 stitch_on_host: bool = False):
+                 stitch_on_host: bool = False, progress: bool = False):
+        # `progress` shows a tqdm bar on the host-stitch path (the
+        # reference's predict_whs.py:78 behavior); the fully-jitted device
+        # path is one program and has no per-window host visibility.
+        self.progress = progress
         self.predict_fn = predict_fn
         self.roi_size = tuple(roi_size)
         self.sw_batch_size = int(sw_batch_size)
@@ -226,6 +230,12 @@ class SlidingWindowInferer:
         acc = np.zeros((b, *x.shape[1:-1], out_ch), np.float32)
         cnt = np.zeros((1, *x.shape[1:-1], 1), np.float32)
         x_np = x  # keep on device; slice via lax for transfer efficiency
+        if self.progress:
+            try:
+                from tqdm import tqdm
+                starts = tqdm(starts)
+            except ImportError:
+                pass
         for group in starts:
             windows = jnp.stack([
                 jax.lax.dynamic_slice(x_np, (0, *map(int, s), 0), (b, *roi, x.shape[-1]))

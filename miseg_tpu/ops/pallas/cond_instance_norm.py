@@ -70,8 +70,8 @@ def _norm_kernel(x_ref, stats_ref, g_ref, b_ref, o_ref, *, n_total: int,
     var = jnp.maximum(s[1] / n_total - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     y = (x - mean[None, :]) * inv[None, :]
-    y = y * g_ref[0][None, :].astype(jnp.float32) \
-        + b_ref[0][None, :].astype(jnp.float32)
+    y = y * g_ref[0, 0][None, :].astype(jnp.float32) \
+        + b_ref[0, 0][None, :].astype(jnp.float32)
     if negative_slope is not None:
         y = jnp.where(y >= 0, y, negative_slope * y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -103,16 +103,19 @@ def _forward(x2d: Array, g: Array, b: Array, *, eps: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0),
+            # [B, 1, C] with block (1, 1, C): every block dim equals the
+            # full dim or 1==full — Mosaic rejects sublane blocks of 1
+            # over a larger batch dim in 2-D layouts
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
         interpret=interpret,
-    )(x2d, stats, g, b)
+    )(x2d, stats, g[:, None, :], b[:, None, :])
     return y, stats
 
 

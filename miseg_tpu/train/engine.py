@@ -260,6 +260,7 @@ class Trainer:
         early = EarlyStopping(patience=cfg.patience, min_delta=cfg.min_delta)
         best_acc = -np.inf
 
+        from ..utils.profiling import profile_trace
         for epoch in range(start_epoch, cfg.max_epochs):
             if cfg.scheduler != "reduce_on_plateau":
                 lr = self.scheduler(epoch)
@@ -268,9 +269,11 @@ class Trainer:
             train_loader.set_epoch(epoch)
             t0 = time.time()
             epoch_losses = []
-            for batch in train_loader:
-                state, loss = self.train_step(state, batch)
-                epoch_losses.append(loss)
+            trace_dir = cfg.profile_dir if epoch == start_epoch + 1 else None
+            with profile_trace(trace_dir):
+                for batch in train_loader:
+                    state, loss = self.train_step(state, batch)
+                    epoch_losses.append(loss)
             train_loss = float(np.mean([float(l) for l in epoch_losses])) \
                 if epoch_losses else float("nan")
             self.logger.log({"train/loss": train_loss,

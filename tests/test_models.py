@@ -105,3 +105,28 @@ def test_sharded_forward_8_devices(unet_small):
                                                       b["modality"])
     assert y.shape == (8, 16, 16, 16, 3)
     assert len(y.sharding.device_set) == 8
+
+
+def test_unet_2d_forward():
+    """Blocks are rank-agnostic; spatial_dims=2 works end to end."""
+    model = UNet(in_channels=1, out_channels=2, channels=(4, 8), strides=(2,),
+                 num_res_units=1, norm_down=("instance_cond", {}),
+                 norm_up=("instance", {}))
+    x = jnp.ones((2, 16, 16, 1))
+    v = model.init({"params": jax.random.key(0)}, x, jnp.array([0, 1], jnp.int32))
+    y = model.apply(v, x, jnp.array([0, 1], jnp.int32))
+    assert y.shape == (2, 16, 16, 2)
+
+
+def test_vit_classification_head():
+    from miseg_tpu.models import ViT
+    m = ViT(in_channels=1, img_size=(32, 32, 32), patch_size=(16, 16, 16),
+            hidden_size=48, mlp_dim=96, num_layers=1, num_heads=3,
+            classification=True, num_classes=5,
+            classification_reverse_gradient=True, post_activation="Tanh")
+    x = jnp.ones((2, 32, 32, 32, 1))
+    v = m.init({"params": jax.random.key(0)}, x)
+    logits, hidden = m.apply(v, x)
+    assert logits.shape == (2, 5)
+    assert len(hidden) == 1
+    assert np.abs(np.asarray(logits)).max() <= 1.0  # tanh head
