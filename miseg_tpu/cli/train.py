@@ -33,9 +33,18 @@ def apply_pretrained(trainer: Trainer, state, cfg: Config):
         print("Loaded pre-trained Swin-ViT")
     if cfg.pretrained:
         print("Loading pre-trained weights ...")
-        ck = load_checkpoint(cfg.pretrained)
-        params = partial_load(params, ck["params"])
+        params = load_any_checkpoint_params(cfg.pretrained, params)
     return state.replace(params=params)
+
+
+def load_any_checkpoint_params(path: str, params):
+    """Load ours (.ckpt msgpack) or a reference torch .pt/.ckpt into params."""
+    try:
+        ck = load_checkpoint(path)
+        return partial_load(params, ck["params"])
+    except Exception:
+        from ..train.torch_import import load_reference_checkpoint
+        return load_reference_checkpoint(path, params)
 
 
 def main(cfg: Config | None = None) -> None:
