@@ -72,11 +72,14 @@ def main() -> None:
     jax.block_until_ready(out)
     print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s "
           f"({n_windows} windows)", file=sys.stderr)
-    reps = 3 if on_tpu else 1
+    # enqueue several volumes back-to-back and block once: amortizes the
+    # per-call dispatch latency (large on tunneled/remote TPU backends)
+    reps = 8 if on_tpu else 1
+    outs = []
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = inferer(volume, modality)
-        jax.block_until_ready(out)
+        outs.append(inferer(volume, modality))
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / reps
     patches_per_sec = n_windows / dt
 

@@ -91,8 +91,8 @@ def _pad_to_grid(spatial: Sequence[int], roi_size: Sequence[int],
 
 
 def _sw_core(predict_fn: Callable, x: Array, modalities: Array | None,
-             starts: Array, roi: tuple[int, ...], sw_batch_size: int,
-             out_channels: int, importance: Array) -> Array:
+             starts: Array, importance: Array, *, roi: tuple[int, ...],
+             sw_batch_size: int, out_channels: int) -> Array:
     """Jittable tile→predict→blend over one padded volume.
 
     x: [B, *padded, C]; starts: [Ng, sw_batch_size, nd] grouped window
@@ -140,6 +140,73 @@ def _sw_core(predict_fn: Callable, x: Array, modalities: Array | None,
 
     (acc, cnt), _ = jax.lax.scan(step, (acc, cnt), starts)
     return acc / cnt
+
+
+def _sw_core_overlap_add(predict_fn: Callable, x: Array,
+                         modalities: Array | None, starts: Array,
+                         importance: Array, count: Array, *,
+                         grid: tuple[int, ...], roi: tuple[int, ...],
+                         interval: tuple[int, ...],
+                         out_channels: int) -> Array:
+    """Static overlap-add blend for regular grids (stride divides roi).
+
+    The scan/dynamic-update-slice accumulator in `_sw_core` is correct but
+    compile-pathological on some TPU toolchains (minutes-long layout
+    analysis of in-loop DUS over a multi-hundred-MB buffer).  When the
+    scan interval divides the ROI, every window subdivides into
+    (roi/step)^nd step-sized cells on a regular cell grid, so blending
+    becomes a STATIC pad-and-add of (roi/step)^nd shifted copies — no
+    dynamic updates anywhere, one fused elementwise pass.
+
+    count (the blend normalizer) is a host-precomputed constant.
+    """
+    b = x.shape[0]
+    nd = len(roi)
+    imp = importance.reshape(1, *roi, 1).astype(jnp.float32)
+
+    def extract(start):
+        return jax.lax.dynamic_slice(
+            x, (0, *[start[i] for i in range(nd)], 0), (b, *roi, x.shape[-1]))
+
+    def step(_, group):
+        windows = jax.vmap(extract)(group)          # [k, B, *roi, C]
+        k = windows.shape[0]
+        windows = windows.reshape(k * b, *roi, x.shape[-1])
+        mods = (jnp.tile(modalities, k) if modalities is not None else None)
+        logits = predict_fn(windows, mods).astype(jnp.float32)
+        logits = logits.reshape(k, b, *roi, out_channels) * imp[None]
+        return None, logits
+
+    _, outs = jax.lax.scan(step, None, starts)
+    # [Ng, k, B, *roi, O] → window-grid [B, *grid, *roi, O]
+    outs = outs.reshape(-1, b, *roi, out_channels)[:int(np.prod(grid))]
+    outs = jnp.moveaxis(outs, 1, 0).reshape(b, *grid, *roi, out_channels)
+
+    ratios = tuple(r // s for r, s in zip(roi, interval))     # cells/window
+    cells = tuple(g + rt - 1 for g, rt in zip(grid, ratios))  # padded cell grid
+    acc = jnp.zeros((b, *[c * s for c, s in zip(cells, interval)], out_channels),
+                    jnp.float32)
+    for offsets in itertools.product(*[range(rt) for rt in ratios]):
+        # window-local cell (dz,dy,dx) lands at cell index (g + offset)
+        sub = outs
+        for ax, (off, s) in enumerate(zip(offsets, interval)):
+            roi_ax = 1 + nd + ax  # axis of the roi dim within outs
+            sub = jax.lax.slice_in_dim(sub, off * s, (off + 1) * s, axis=roi_ax)
+        # sub: [B, *grid, *step, O] → dense [B, *(grid*step), O]
+        perm = [0]
+        for ax in range(nd):
+            perm += [1 + ax, 1 + nd + ax]
+        sub = sub.transpose(*perm, 1 + 2 * nd)
+        sub = sub.reshape(b, *[g * s for g, s in zip(grid, interval)],
+                          out_channels)
+        pads = [(0, 0)]
+        for ax in range(nd):
+            lo = offsets[ax] * interval[ax]
+            hi = acc.shape[1 + ax] - lo - sub.shape[1 + ax]
+            pads.append((lo, hi))
+        pads.append((0, 0))
+        acc = acc + jnp.pad(sub, pads)
+    return acc / count
 
 
 class SlidingWindowInferer:
@@ -209,17 +276,45 @@ class SlidingWindowInferer:
         if self.stitch_on_host:
             out = self._host_stitch(x, modalities, starts, out_ch)
         else:
-            key = (padded, inputs.shape[0], inputs.shape[-1], starts.shape[:2])
+            regular = all(r % s == 0 for r, s in zip(roi, interval))
+            key = (padded, inputs.shape[0], inputs.shape[-1],
+                   starts.shape[:2], regular)
+            # imp/count are passed as ARGUMENTS, not closures: multi-MB
+            # arrays baked as HLO constants make remote compiles
+            # pathologically slow (same issue as the swin masks).
+            imp = jnp.asarray(self._importance())
             if key not in self._jitted:
-                imp = jnp.asarray(self._importance())
-                self._jitted[key] = jax.jit(
-                    functools.partial(_sw_core, self.predict_fn, roi=roi,
-                                      sw_batch_size=self.sw_batch_size,
-                                      out_channels=out_ch, importance=imp))
-            out = self._jitted[key](x, modalities, jnp.asarray(starts))
+                if regular:
+                    grid = tuple((p - r) // s + 1
+                                 for p, r, s in zip(padded, roi, interval))
+                    self._jitted[key] = (jax.jit(functools.partial(
+                        _sw_core_overlap_add, self.predict_fn, grid=grid,
+                        roi=roi, interval=interval, out_channels=out_ch)),
+                        jnp.asarray(self._overlap_count(grid, roi, interval)))
+                else:
+                    self._jitted[key] = (jax.jit(functools.partial(
+                        _sw_core, self.predict_fn, roi=roi,
+                        sw_batch_size=self.sw_batch_size,
+                        out_channels=out_ch)), None)
+            fn, count = self._jitted[key]
+            if count is not None:
+                out = fn(x, modalities, jnp.asarray(starts), imp, count)
+            else:
+                out = fn(x, modalities, jnp.asarray(starts), imp)
 
         crop = tuple(slice(p[0], p[0] + s) for p, s in zip(pads[1:-1], spatial))
         return out[(slice(None), *crop, slice(None))]
+
+    def _overlap_count(self, grid, roi, interval) -> np.ndarray:
+        """Host-precomputed blend normalizer `[1, *padded, 1]`."""
+        imp = self._importance()
+        padded = tuple((g - 1) * s + r for g, r, s in zip(grid, roi, interval))
+        cnt = np.zeros(padded, np.float64)
+        for corner in itertools.product(*[range(g) for g in grid]):
+            sl = tuple(slice(c * s, c * s + r)
+                       for c, r, s in zip(corner, roi, interval))
+            cnt[sl] += imp
+        return cnt.reshape(1, *padded, 1).astype(np.float32)
 
     def _host_stitch(self, x, modalities, starts, out_ch):
         """Device predict per window batch, accumulate in host numpy."""
