@@ -261,49 +261,57 @@ class SlidingWindowInferer:
         interval = scan_interval(roi, self.overlap)
         padded = _pad_to_grid(spatial, roi, interval)
         # symmetric pad (MONAI pads half/half when dim < roi)
-        pads = [(0, 0)]
-        for s, p in zip(spatial, padded):
-            lo = (p - s) // 2
-            pads.append((lo, p - s - lo))
-        pads.append((0, 0))
-        x = jnp.pad(inputs, pads) if any(p != (0, 0) for p in pads) else inputs
-
-        starts = self._grouped_starts(padded)
+        pads = ((0, 0),) + tuple(((p - s) // 2, p - s - (p - s) // 2)
+                                 for s, p in zip(spatial, padded)) + ((0, 0),)
         out_ch = self.out_channels
         if out_ch is None:
             raise ValueError("out_channels must be set on SlidingWindowInferer")
 
         if self.stitch_on_host:
+            x = jnp.pad(inputs, pads) if any(p != (0, 0) for p in pads) else inputs
+            starts = self._grouped_starts(padded)
             out = self._host_stitch(x, modalities, starts, out_ch)
-        else:
-            regular = all(r % s == 0 for r, s in zip(roi, interval))
-            key = (padded, inputs.shape[0], inputs.shape[-1],
-                   starts.shape[:2], regular)
-            # imp/count are passed as ARGUMENTS, not closures: multi-MB
-            # arrays baked as HLO constants make remote compiles
-            # pathologically slow (same issue as the swin masks).
-            imp = jnp.asarray(self._importance())
-            if key not in self._jitted:
-                if regular:
-                    grid = tuple((p - r) // s + 1
-                                 for p, r, s in zip(padded, roi, interval))
-                    self._jitted[key] = (jax.jit(functools.partial(
-                        _sw_core_overlap_add, self.predict_fn, grid=grid,
-                        roi=roi, interval=interval, out_channels=out_ch)),
-                        jnp.asarray(self._overlap_count(grid, roi, interval)))
-                else:
-                    self._jitted[key] = (jax.jit(functools.partial(
-                        _sw_core, self.predict_fn, roi=roi,
-                        sw_batch_size=self.sw_batch_size,
-                        out_channels=out_ch)), None)
-            fn, count = self._jitted[key]
-            if count is not None:
-                out = fn(x, modalities, jnp.asarray(starts), imp, count)
-            else:
-                out = fn(x, modalities, jnp.asarray(starts), imp)
+            crop = tuple(slice(p[0], p[0] + s)
+                         for p, s in zip(pads[1:-1], spatial))
+            return out[(slice(None), *crop, slice(None))]
 
-        crop = tuple(slice(p[0], p[0] + s) for p, s in zip(pads[1:-1], spatial))
-        return out[(slice(None), *crop, slice(None))]
+        # One fully-jitted program per shape: pad → tile → predict → blend →
+        # crop.  Everything per-call is inside the jit (eager ops would cost
+        # a dispatch round trip each on remote backends), and the big blend
+        # arrays are cached device ARGUMENTS, not baked HLO constants.
+        regular = all(r % s == 0 for r, s in zip(roi, interval))
+        key = (padded, inputs.shape[0], inputs.shape[-1],
+               self.sw_batch_size, regular)
+        if key not in self._jitted:
+            starts = jnp.asarray(self._grouped_starts(padded))
+            imp = jnp.asarray(self._importance())
+            if regular:
+                grid = tuple((p - r) // s + 1
+                             for p, r, s in zip(padded, roi, interval))
+                count = jnp.asarray(self._overlap_count(grid, roi, interval))
+                core = functools.partial(_sw_core_overlap_add, self.predict_fn,
+                                         grid=grid, roi=roi, interval=interval,
+                                         out_channels=out_ch)
+            else:
+                count = None
+                core = functools.partial(_sw_core, self.predict_fn, roi=roi,
+                                         sw_batch_size=self.sw_batch_size,
+                                         out_channels=out_ch)
+
+            def full(inp, mods, starts, imp, count):
+                x = jnp.pad(inp, pads) if any(p != (0, 0) for p in pads) else inp
+                if count is not None:
+                    out = core(x, mods, starts, imp, count)
+                else:
+                    out = core(x, mods, starts, imp)
+                crop = tuple(slice(p[0], p[0] + s)
+                             for p, s in zip(pads[1:-1], spatial))
+                return out[(slice(None), *crop, slice(None))]
+
+            self._jitted[key] = (jax.jit(full, static_argnums=()), starts,
+                                 imp, count)
+        fn, starts, imp, count = self._jitted[key]
+        return fn(inputs, modalities, starts, imp, count)
 
     def _overlap_count(self, grid, roi, interval) -> np.ndarray:
         """Host-precomputed blend normalizer `[1, *padded, 1]`."""
