@@ -149,13 +149,17 @@ class Trainer:
     def train_step(self, state: TrainState, batch: dict) -> tuple[TrainState, float]:
         if self._train_step is None:
             self._train_step = self._build_train_step()
+            self._host_step = 0
         b = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
                          if k in ("image", "label", "modality")}, self.mesh)
         label = b["label"]
         if label.ndim == 5 and label.shape[-1] == 1:
             label = label[..., 0]
+        # host-side step counter for the dropout rng: int(state.step) would
+        # force a device sync + transfer every step
         rng = jax.random.fold_in(jax.random.key(self.cfg.seed + 1),
-                                 int(state.step))
+                                 self._host_step)
+        self._host_step += 1
         state, loss = self._train_step(state, b["image"],
                                        label.astype(jnp.int32),
                                        b.get("modality"), rng)
