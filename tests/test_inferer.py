@@ -91,3 +91,38 @@ def test_sw_modality_broadcast(rng):
     assert len(seen) >= 1
     assert all(s is not None and (s == 1).all() and s.shape == (2,)
                for s in seen)
+
+
+def test_overlap_add_equals_scan_core(rng):
+    """The static overlap-add blend must equal the scan/DUS blend for a
+    model with real spatial mixing (not blend-invariant)."""
+    import functools
+    from miseg_tpu.inferers import (_sw_core, _sw_core_overlap_add,
+                                    gaussian_importance)
+
+    kern = jnp.asarray(rng.standard_normal((3, 3, 3, 1, 2)).astype(np.float32))
+
+    def model(w, m):  # 3x3x3 conv: window-dependent boundary effects
+        return jax.lax.conv_general_dilated(
+            w, kern, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    roi, interval, grid = (16, 16, 16), (8, 8, 8), (3, 2, 2)
+    padded = tuple((g - 1) * s + r for g, r, s in zip(grid, roi, interval))
+    x = jnp.asarray(rng.random((1, *padded, 1)).astype(np.float32))
+    starts = np.array([[i * 8, j * 8, k * 8] for i in range(3)
+                       for j in range(2) for k in range(2)], np.int32)
+    imp = jnp.asarray(gaussian_importance(roi))
+    a = _sw_core(model, x, None, jnp.asarray(starts[:, None, :]), imp,
+                 roi=roi, sw_batch_size=1, out_channels=2)
+    cnt = np.zeros(padded)
+    for s in starts:
+        sl = tuple(slice(int(c), int(c) + r) for c, r in zip(s, roi))
+        cnt[sl] += np.asarray(imp)
+    b = _sw_core_overlap_add(model, x, None, jnp.asarray(starts[:, None, :]),
+                             imp, jnp.asarray(cnt.reshape(1, *padded, 1),
+                                              dtype=jnp.float32),
+                             grid=grid, roi=roi, interval=interval,
+                             out_channels=2)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), \
+        np.abs(np.asarray(a) - np.asarray(b)).max()
