@@ -37,8 +37,8 @@ def lr_find(cfg: Config, *, num_steps: int = 100, min_lr: float = 1e-8,
                 break
             lr = min_lr * (max_lr / min_lr) ** (step / max(1, num_steps - 1))
             if state is None:
-                state = trainer.init_state(batch["image"][:1],
-                                           np.asarray(batch.get("modality", [0]))[:1])
+                state = trainer.fresh_state(batch["image"][:1],
+                                            np.asarray(batch.get("modality", [0]))[:1])
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
             state, loss = trainer.train_step(state, batch)
             loss = float(loss)

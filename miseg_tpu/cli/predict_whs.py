@@ -19,7 +19,7 @@ from ..config import Config, parse_config
 from ..data.datalist import load_decathlon_datalist_with_modality
 from ..data.multi_modal import eval_transforms
 from ..data.nifti import save_nifti
-from ..train.checkpoint import load_checkpoint
+from ..train.checkpoint import load_any_checkpoint_params
 from ..train.engine import Trainer
 
 # MM-WHS ground-truth label values (predict_whs.py:18-32)
@@ -44,10 +44,10 @@ def main(cfg: Config | None = None, *, result_dir: str | None = None,
     sample = np.zeros((1, *cfg.roi, cfg.in_channels), np.float32)
     state = trainer.init_state(sample, np.zeros((1,), np.int32))
     if cfg.ckpt_path or cfg.pretrained:
-        ck = load_checkpoint(cfg.ckpt_path or cfg.pretrained,
-                             params_template=state.params)
-        state = state.replace(params=ck["params"])
-    inferer = trainer.make_inferer(state.params)
+        params = load_any_checkpoint_params(cfg.ckpt_path or cfg.pretrained,
+                                            state.params)
+        state = state.replace(params=params)
+    inferer = trainer.make_inferer()
 
     tr = eval_transforms(cfg, allow_missing_keys=True)
     datalist = load_decathlon_datalist_with_modality(
@@ -61,7 +61,7 @@ def main(cfg: Config | None = None, *, result_dir: str | None = None,
         sample_d = tr({"image": el["image"], "label": el["image"]})
         image = jnp.asarray(sample_d["image"])[None]
         modality = jnp.asarray([el["modality"]], jnp.int32)
-        logits = inferer(image, modality)
+        logits = inferer(image, modality, (state.params, state.extra_vars))
         pred = np.asarray(jnp.argmax(logits[0], axis=-1), np.int32)
 
         inv_d = dict(sample_d)

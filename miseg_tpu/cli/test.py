@@ -12,7 +12,7 @@ import numpy as np
 
 from ..config import Config, parse_config
 from ..data.multi_modal import get_loaders
-from ..train.checkpoint import load_checkpoint
+from ..train.checkpoint import load_any_checkpoint_params
 from ..train.engine import Trainer
 
 
@@ -23,9 +23,10 @@ def main(cfg: Config | None = None) -> dict:
     trainer = Trainer(cfg, workdir=cfg.default_root_dir)
     sample = np.zeros((1, *cfg.roi, cfg.in_channels), np.float32)
     state = trainer.init_state(sample, np.zeros((1,), np.int32))
-    ck = load_checkpoint(cfg.ckpt_path or cfg.pretrained,
-                         params_template=state.params)
-    state = state.replace(params=ck["params"])
+    # accepts our msgpack checkpoints AND reference torch .pt/.ckpt
+    params = load_any_checkpoint_params(cfg.ckpt_path or cfg.pretrained,
+                                        state.params)
+    state = state.replace(params=params)
     loader = get_loaders(cfg, test_mode=True)
     metrics = trainer.evaluate(loader, state, prefix="test",
                                compute_surface=True)

@@ -15,36 +15,10 @@ import numpy as np
 
 from ..config import Config, parse_config
 from ..data.multi_modal import MultiModalData
-from ..models import model_from_config
 from ..parallel import host_shard_info
 from ..train.checkpoint import load_checkpoint
 from ..train.engine import Trainer
-from ..train.pretrained import load_swin_vit_torch, partial_load
 from ..utils.logging import MetricLogger
-
-
-def apply_pretrained(trainer: Trainer, state, cfg: Config):
-    """pre_swin ingest + --pretrained partial load (utils.py:17-64)."""
-    params = state.params
-    if cfg.model_name == "pre_swin_unetr":
-        if not cfg.pre_swin:
-            raise ValueError("pre_swin_unetr requires --pre_swin checkpoint path")
-        params = load_swin_vit_torch(cfg.pre_swin, params)
-        print("Loaded pre-trained Swin-ViT")
-    if cfg.pretrained:
-        print("Loading pre-trained weights ...")
-        params = load_any_checkpoint_params(cfg.pretrained, params)
-    return state.replace(params=params)
-
-
-def load_any_checkpoint_params(path: str, params):
-    """Load ours (.ckpt msgpack) or a reference torch .pt/.ckpt into params."""
-    try:
-        ck = load_checkpoint(path)
-        return partial_load(params, ck["params"])
-    except Exception:
-        from ..train.torch_import import load_reference_checkpoint
-        return load_reference_checkpoint(path, params)
 
 
 def main(cfg: Config | None = None) -> None:
@@ -60,10 +34,8 @@ def main(cfg: Config | None = None) -> None:
     trainer = Trainer(cfg, workdir=workdir, logger=logger)
 
     # init + optional pretrained ingest before fit
-    roi = cfg.roi
-    sample = np.zeros((1, *roi, cfg.in_channels), np.float32)
-    state = trainer.init_state(sample, np.zeros((1,), np.int32))
-    state = apply_pretrained(trainer, state, cfg)
+    sample = np.zeros((1, *cfg.roi, cfg.in_channels), np.float32)
+    state = trainer.fresh_state(sample, np.zeros((1,), np.int32))
 
     state = trainer.fit(data, state=state)
 

@@ -255,7 +255,12 @@ class SlidingWindowInferer:
             starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, 0)], 0)
         return starts.reshape(-1, k, starts.shape[1])
 
-    def __call__(self, inputs: Array, modalities: Array | None = None) -> Array:
+    def __call__(self, inputs: Array, modalities: Array | None = None,
+                 params=None) -> Array:
+        """Run inference.  If the inferer was built with a 3-argument
+        `predict_fn(params, windows, modalities)`, pass `params` here — it
+        flows through the jit as an ARGUMENT (no weight constants baked
+        into the program; one compile serves every checkpoint/epoch)."""
         roi = self.roi_size
         spatial = tuple(inputs.shape[1:-1])
         interval = scan_interval(roi, self.overlap)
@@ -267,10 +272,16 @@ class SlidingWindowInferer:
         if out_ch is None:
             raise ValueError("out_channels must be set on SlidingWindowInferer")
 
+        def bind_predict(p):
+            if p is None:
+                return self.predict_fn
+            return lambda w, m: self.predict_fn(p, w, m)
+
         if self.stitch_on_host:
             x = jnp.pad(inputs, pads) if any(p != (0, 0) for p in pads) else inputs
             starts = self._grouped_starts(padded)
-            out = self._host_stitch(x, modalities, starts, out_ch)
+            out = self._host_stitch(bind_predict(params), x, modalities,
+                                    starts, out_ch)
             crop = tuple(slice(p[0], p[0] + s)
                          for p, s in zip(pads[1:-1], spatial))
             return out[(slice(None), *crop, slice(None))]
@@ -280,7 +291,7 @@ class SlidingWindowInferer:
         # a dispatch round trip each on remote backends), and the big blend
         # arrays are cached device ARGUMENTS, not baked HLO constants.
         regular = all(r % s == 0 for r, s in zip(roi, interval))
-        key = (padded, inputs.shape[0], inputs.shape[-1],
+        key = (spatial, padded, inputs.shape[0], inputs.shape[-1],
                self.sw_batch_size, regular)
         if key not in self._jitted:
             starts = jnp.asarray(self._grouped_starts(padded))
@@ -289,29 +300,28 @@ class SlidingWindowInferer:
                 grid = tuple((p - r) // s + 1
                              for p, r, s in zip(padded, roi, interval))
                 count = jnp.asarray(self._overlap_count(grid, roi, interval))
-                core = functools.partial(_sw_core_overlap_add, self.predict_fn,
-                                         grid=grid, roi=roi, interval=interval,
-                                         out_channels=out_ch)
             else:
-                count = None
-                core = functools.partial(_sw_core, self.predict_fn, roi=roi,
-                                         sw_batch_size=self.sw_batch_size,
-                                         out_channels=out_ch)
+                grid = count = None
 
-            def full(inp, mods, starts, imp, count):
-                x = jnp.pad(inp, pads) if any(p != (0, 0) for p in pads) else inp
+            def full(p, inp, mods, starts, imp, count):
+                predict = bind_predict(p)
+                x = jnp.pad(inp, pads) if any(q != (0, 0) for q in pads) else inp
                 if count is not None:
-                    out = core(x, mods, starts, imp, count)
+                    out = _sw_core_overlap_add(predict, x, mods, starts, imp,
+                                               count, grid=grid, roi=roi,
+                                               interval=interval,
+                                               out_channels=out_ch)
                 else:
-                    out = core(x, mods, starts, imp)
-                crop = tuple(slice(p[0], p[0] + s)
-                             for p, s in zip(pads[1:-1], spatial))
+                    out = _sw_core(predict, x, mods, starts, imp, roi=roi,
+                                   sw_batch_size=self.sw_batch_size,
+                                   out_channels=out_ch)
+                crop = tuple(slice(q[0], q[0] + s)
+                             for q, s in zip(pads[1:-1], spatial))
                 return out[(slice(None), *crop, slice(None))]
 
-            self._jitted[key] = (jax.jit(full, static_argnums=()), starts,
-                                 imp, count)
+            self._jitted[key] = (jax.jit(full), starts, imp, count)
         fn, starts, imp, count = self._jitted[key]
-        return fn(inputs, modalities, starts, imp, count)
+        return fn(params, inputs, modalities, starts, imp, count)
 
     def _overlap_count(self, grid, roi, interval) -> np.ndarray:
         """Host-precomputed blend normalizer `[1, *padded, 1]`."""
@@ -324,7 +334,7 @@ class SlidingWindowInferer:
             cnt[sl] += imp
         return cnt.reshape(1, *padded, 1).astype(np.float32)
 
-    def _host_stitch(self, x, modalities, starts, out_ch):
+    def _host_stitch(self, predict_fn, x, modalities, starts, out_ch):
         """Device predict per window batch, accumulate in host numpy."""
         b = x.shape[0]
         roi = self.roi_size
@@ -345,7 +355,7 @@ class SlidingWindowInferer:
                 for s in group]).reshape(-1, *roi, x.shape[-1])
             mods = (jnp.tile(modalities, len(group)) if modalities is not None
                     else None)
-            logits = np.asarray(self.predict_fn(windows, mods), np.float32)
+            logits = np.asarray(predict_fn(windows, mods), np.float32)
             logits = logits.reshape(len(group), b, *roi, out_ch)
             for i, s in enumerate(group):
                 sl = (slice(None), *[slice(int(si), int(si) + r)

@@ -110,7 +110,11 @@ class LossMetric:
     def aggregate(self, reduction: str = "mean") -> float:
         if not self._vals:
             return float("nan")
-        return float(np.mean(self._vals))
+        if reduction == "mean":
+            return float(np.mean(self._vals))
+        if reduction == "sum":
+            return float(np.sum(self._vals))
+        raise ValueError(f"unknown reduction {reduction!r}")
 
     def reset(self) -> None:
         self._vals = []

@@ -113,8 +113,10 @@ class UNet(nn.Module):
     bias: bool = True
     adn_ordering: str = "NDA"
 
-    # the whole down path; resolved by path prefix in the training engine
-    ENCODER_PREFIXES = ("model",)
+    # encoder = every down layer + the bottom block at any recursion depth
+    # (unet.py:195-201 freezes down/bottom but leaves the decoder trainable);
+    # fnmatch patterns over the full param path — see train/optim.freeze_mask
+    ENCODER_PREFIXES = ("*/down/*", "*/bottom/*")
 
     @nn.compact
     def __call__(self, x, modalities=None, *, train: bool = False):

@@ -1,1 +1,1 @@
-from . import norms, init, stochastic, window  # noqa: F401
+from . import norms, init, window  # noqa: F401

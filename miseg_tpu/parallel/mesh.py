@@ -47,17 +47,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put each batch array with dim-0 sharded on the data axis.
+    """Place each batch array with dim-0 sharded on the data axis.
 
-    Batches not divisible by the data-axis size are replicated instead
-    (correct but unparallelized — the loader should deliver global batches
-    that are multiples of the mesh size for full throughput).
+    Single-host: device_put with a NamedSharding; non-divisible batches
+    replicate (correct but unparallelized).  Multi-host: each process
+    holds only its LOCAL loader shard, so the global array is assembled
+    with `jax.make_array_from_process_local_data` — a plain device_put of
+    differing per-host values under a replicated sharding would skip the
+    gradient sync and silently diverge the replicas.
     """
     n = mesh.shape[axis]
     sharded = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
+    multihost = jax.process_count() > 1
 
     def put(x):
+        if multihost and x.ndim > 0:
+            import numpy as np
+            return jax.make_array_from_process_local_data(sharded,
+                                                          np.asarray(x))
         ok = x.ndim > 0 and x.shape[0] % n == 0
         return jax.device_put(x, sharded if ok else replicated)
 

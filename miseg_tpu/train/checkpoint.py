@@ -66,6 +66,18 @@ def load_checkpoint(path: str | Path, *, params_template=None,
     return out
 
 
+def load_any_checkpoint_params(path: str | Path, params: dict) -> dict:
+    """Merge a checkpoint into params: ours (msgpack) or a reference torch
+    .pt/.ckpt (auto-detected; translated via train.torch_import)."""
+    from .pretrained import partial_load
+    try:
+        ck = load_checkpoint(path)
+        return partial_load(params, ck["params"])
+    except Exception:
+        from .torch_import import load_reference_checkpoint
+        return load_reference_checkpoint(path, params)
+
+
 class CheckpointManager:
     """Top-k (by monitored metric) + last checkpoint management."""
 

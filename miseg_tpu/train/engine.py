@@ -54,6 +54,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jax.Array
+    extra_vars: Any = None  # non-param collections (e.g. batch_stats)
 
 
 class EarlyStopping:
@@ -97,52 +98,93 @@ class Trainer:
         self.tx = None
         self._train_step = None
         self._eval_loss = None
+        self._inferer = None
 
     # ------------------------------------------------------------ forward
 
     def apply_fn(self, params, image, modalities, *, train: bool = False,
-                 rng=None):
+                 rng=None, extra_vars=None, mutable: bool = False):
+        """Forward pass with bf16 compute policy.
+
+        `extra_vars` carries non-param collections (batch_stats for the
+        "batch" norm option); with `mutable=True` the updated collections
+        are returned as a second output.
+        """
         p = jax.tree.map(lambda x: x.astype(self.compute_dtype)
                          if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         x = image.astype(self.compute_dtype)
         kwargs = {}
         if train and rng is not None:
             kwargs["rngs"] = {"dropout": rng}
-        logits = self.model.apply({"params": p}, x, modalities, train=train,
+        variables = {"params": p, **(extra_vars or {})}
+        if mutable and extra_vars:
+            kwargs["mutable"] = list(extra_vars)
+            logits, new_vars = self.model.apply(variables, x, modalities,
+                                                train=train, **kwargs)
+            return logits.astype(jnp.float32), new_vars
+        logits = self.model.apply(variables, x, modalities, train=train,
                                   **kwargs)
-        return logits.astype(jnp.float32)
+        return (logits.astype(jnp.float32), extra_vars) if mutable \
+            else logits.astype(jnp.float32)
 
     # -------------------------------------------------------------- state
 
     def init_state(self, sample_image: np.ndarray, sample_modality: np.ndarray,
                    rng=None) -> TrainState:
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
-        variables = self.model.init({"params": rng},
-                                    jnp.asarray(sample_image),
-                                    jnp.asarray(sample_modality))
-        params = variables["params"]
+        variables = dict(self.model.init({"params": rng},
+                                         jnp.asarray(sample_image),
+                                         jnp.asarray(sample_modality)))
+        params = variables.pop("params")
         self.tx = optimizer_from_config(
             self.cfg, params, getattr(self.model, "ENCODER_PREFIXES", ()))
         opt_state = self.tx.init(params)
         state = TrainState(params=params, opt_state=opt_state,
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((), jnp.int32),
+                           extra_vars=variables)
         return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def apply_pretrained(self, state: TrainState) -> TrainState:
+        """pre_swin / --pretrained ingest (utils.py:17-64 semantics) —
+        applied by every entry point (train/tune/lr-find), matching
+        `model_from_argparse_args` which loads weights at model build."""
+        cfg = self.cfg
+        params = state.params
+        if cfg.model_name == "pre_swin_unetr":
+            if not cfg.pre_swin:
+                raise ValueError("pre_swin_unetr requires --pre_swin checkpoint path")
+            from .pretrained import load_swin_vit_torch
+            params = load_swin_vit_torch(cfg.pre_swin, params)
+            print("Loaded pre-trained Swin-ViT")
+        if cfg.pretrained:
+            print("Loading pre-trained weights ...")
+            from .checkpoint import load_any_checkpoint_params
+            params = load_any_checkpoint_params(cfg.pretrained, params)
+        return state.replace(params=params)
+
+    def fresh_state(self, sample_image, sample_modality) -> TrainState:
+        """init_state + pretrained ingest — the canonical starting state."""
+        return self.apply_pretrained(self.init_state(sample_image,
+                                                     sample_modality))
 
     # --------------------------------------------------------- train step
 
     def _build_train_step(self):
         def step_fn(state: TrainState, image, label, modality, rng):
             def loss_of(params):
-                logits = self.apply_fn(params, image, modality, train=True,
-                                       rng=rng)
-                return self.loss_fn(logits, label)
+                logits, new_vars = self.apply_fn(
+                    params, image, modality, train=True, rng=rng,
+                    extra_vars=state.extra_vars, mutable=True)
+                return self.loss_fn(logits, label), new_vars
 
-            loss, grads = jax.value_and_grad(loss_of)(state.params)
+            (loss, new_vars), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
             return state.replace(params=params, opt_state=opt_state,
-                                 step=state.step + 1), loss
+                                 step=state.step + 1,
+                                 extra_vars=new_vars), loss
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -167,18 +209,24 @@ class Trainer:
 
     # --------------------------------------------------------------- eval
 
-    def make_inferer(self, params, mode: str = "constant") -> SlidingWindowInferer:
+    def make_inferer(self, mode: str = "constant") -> SlidingWindowInferer:
+        """One cached inferer; params flow through each call as a jit
+        ARGUMENT (closure-captured weights would bake multi-hundred-MB HLO
+        constants and force a full recompile every validation epoch)."""
         cfg = self.cfg
-        return SlidingWindowInferer(
-            lambda w, m: self.apply_fn(params, w, m, train=False),
-            roi_size=cfg.roi, sw_batch_size=cfg.sw_batch_size,
-            overlap=cfg.infer_overlap, mode=mode,
-            out_channels=cfg.out_channels, stitch_on_host=cfg.infer_cpu)
+        if self._inferer is None:
+            self._inferer = SlidingWindowInferer(
+                lambda pv, w, m: self.apply_fn(pv[0], w, m, train=False,
+                                               extra_vars=pv[1]),
+                roi_size=cfg.roi, sw_batch_size=cfg.sw_batch_size,
+                overlap=cfg.infer_overlap, mode=mode,
+                out_channels=cfg.out_channels, stitch_on_host=cfg.infer_cpu)
+        return self._inferer
 
     def evaluate(self, loader, state: TrainState, *, prefix: str = "val",
                  compute_surface: bool = False, epoch: int | None = None) -> dict:
         cfg = self.cfg
-        inferer = self.make_inferer(state.params)
+        inferer = self.make_inferer()
         dice_rows, surf_rows, mods = [], [], []
         losses, vol_accs = [], []
         for batch in loader:
@@ -188,7 +236,7 @@ class Trainer:
                 label = label[..., 0]
             modality = batch.get("modality")
             mod_arr = (jnp.asarray(modality) if modality is not None else None)
-            logits = inferer(image, mod_arr)
+            logits = inferer(image, mod_arr, (state.params, state.extra_vars))
             losses.append(float(self.loss_fn(logits, jnp.asarray(label))))
             pred = as_discrete(logits, argmax=True, to_onehot=cfg.out_channels)
             targ = as_discrete(jnp.asarray(label), to_onehot=cfg.out_channels)
@@ -246,8 +294,8 @@ class Trainer:
 
         if state is None:
             first = next(iter(train_loader))
-            state = self.init_state(first["image"][:1],
-                                    np.asarray(first.get("modality", [0]))[:1])
+            state = self.fresh_state(first["image"][:1],
+                                     np.asarray(first.get("modality", [0]))[:1])
         start_epoch = 0
         if cfg.ckpt_path:
             ck = load_checkpoint(cfg.ckpt_path, params_template=state.params,

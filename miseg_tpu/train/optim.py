@@ -40,13 +40,25 @@ def _base_optimizer(cfg, learning_rate):
 
 
 def freeze_mask(params, prefixes: Sequence[str]):
-    """Label each param leaf 'freeze' if its top-level module matches."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    """Label each param leaf 'freeze' when it matches a prefix.
+
+    A prefix containing '/' or '*' is an fnmatch pattern over the full
+    '/'-joined path (needed for nested encoder subtrees, e.g. the
+    recursive UNet's '*/down/*'); otherwise it matches the top-level
+    module by prefix (e.g. 'encoder1', 'down_path').
+    """
+    import fnmatch
 
     def label(path, _):
-        top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        return "freeze" if any(top == p or top.startswith(p) for p in prefixes) \
-            else "train"
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        full = "/".join(keys)
+        for pat in prefixes:
+            if "/" in pat or "*" in pat:
+                if fnmatch.fnmatch(full, pat):
+                    return "freeze"
+            elif keys and (keys[0] == pat or keys[0].startswith(pat)):
+                return "freeze"
+        return "train"
 
     return jax.tree_util.tree_map_with_path(label, params)
 

@@ -126,3 +126,29 @@ def test_overlap_add_equals_scan_core(rng):
                              out_channels=2)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), \
         np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_cache_key_distinguishes_input_shapes(rng):
+    """Two volumes that pad to the same bucket must each get correct
+    shapes/content (regression: cache key once omitted the input shape)."""
+    inf = SlidingWindowInferer(_sum_model, roi_size=(8, 8, 8),
+                               sw_batch_size=1, overlap=0.5, out_channels=2)
+    a = jnp.asarray(rng.random((1, 13, 13, 13, 1)), jnp.float32)
+    b = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    ya = inf(a)
+    yb = inf(b)
+    assert ya.shape == (1, 13, 13, 13, 2)
+    assert yb.shape == (1, 16, 16, 16, 2)
+    assert np.allclose(np.asarray(yb), np.asarray(_sum_model(b, None)), atol=1e-4)
+    assert np.allclose(np.asarray(ya), np.asarray(_sum_model(a, None)), atol=1e-4)
+
+
+def test_params_as_argument(rng):
+    """3-arg predict_fn receives params through the jit (no baked weights)."""
+    w1, w2 = 2.0, 5.0
+    inf = SlidingWindowInferer(lambda p, w, m: w * p, roi_size=(8, 8, 8),
+                               sw_batch_size=1, overlap=0.5, out_channels=1)
+    x = jnp.ones((1, 8, 8, 8, 1))
+    assert float(inf(x, None, jnp.float32(w1)).mean()) == pytest.approx(w1)
+    assert float(inf(x, None, jnp.float32(w2)).mean()) == pytest.approx(w2)
+    assert len(inf._jitted) == 1  # same compiled program for both

@@ -173,3 +173,55 @@ def test_tiny_fit_end_to_end(tmp_path):
     metrics = trainer.evaluate(MultiModalData(cfg).val_dataloader(), state)
     assert "val/accuracy/avg" in metrics
     assert (tmp_path / "exp" / "best.ckpt").exists()
+
+
+def test_unet_freeze_mask_spares_decoder():
+    """--freeze_encoder must freeze down/bottom but keep up/up_ru training
+    (regression: a top-level 'model' prefix froze the whole network)."""
+    import jax.numpy as jnp
+
+    from miseg_tpu.models import UNet
+    from miseg_tpu.train.optim import freeze_mask
+    params = {"model": {
+        "down": {"w": jnp.ones(1)},
+        "sub": {"down": {"w": jnp.ones(1)}, "bottom": {"w": jnp.ones(1)},
+                "up": {"w": jnp.ones(1)}, "up_ru": {"w": jnp.ones(1)}},
+        "up": {"w": jnp.ones(1)}, "up_ru": {"w": jnp.ones(1)}}}
+    labels = freeze_mask(params, UNet.ENCODER_PREFIXES)
+    m = labels["model"]
+    assert m["down"]["w"] == "freeze"
+    assert m["sub"]["down"]["w"] == "freeze"
+    assert m["sub"]["bottom"]["w"] == "freeze"
+    assert m["sub"]["up"]["w"] == "train"
+    assert m["sub"]["up_ru"]["w"] == "train"
+    assert m["up"]["w"] == "train"
+
+
+def test_batch_norm_trains_and_evals(tmp_path):
+    """The 'batch' norm option must not crash and must update running stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from miseg_tpu.train.engine import Trainer
+    cfg = Config(model_name="unet", roi_x=8, roi_y=8, roi_z=8, out_channels=2,
+                 feature_size=[2], num_layers=2, strides=[2], num_res_units=0,
+                 encoder_norm_name="batch", decoder_norm_name="batch",
+                 criterion="dice_ce", scheduler="none", no_amp=True,
+                 precision="fp32", default_root_dir=str(tmp_path))
+    tr = Trainer(cfg, workdir=str(tmp_path))
+    img = np.random.default_rng(0).random((2, 8, 8, 8, 1)).astype(np.float32)
+    lab = np.zeros((2, 8, 8, 8), np.int32)
+    state = tr.init_state(img[:1], np.zeros((1,), np.int32))
+    assert "batch_stats" in state.extra_vars
+    before = jax.tree.map(np.asarray, state.extra_vars)
+    state, loss = tr.train_step(state, {"image": img, "label": lab,
+                                        "modality": np.zeros(2, np.int32)})
+    assert np.isfinite(float(loss))
+    after = jax.tree.map(np.asarray, state.extra_vars)
+    changed = any((a != b).any() for a, b in
+                  zip(jax.tree.leaves(before), jax.tree.leaves(after)))
+    assert changed  # running stats updated
+    # eval path threads the collection too
+    out = tr.apply_fn(state.params, jnp.asarray(img),
+                      jnp.zeros(2, jnp.int32), extra_vars=state.extra_vars)
+    assert out.shape == (2, 8, 8, 8, 2)
