@@ -148,15 +148,16 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
                          grid: tuple[int, ...], roi: tuple[int, ...],
                          interval: tuple[int, ...],
                          out_channels: int) -> Array:
-    """Static overlap-add blend for regular grids (stride divides roi).
+    """Static overlap-add blend for regular-stride window grids.
 
     The scan/dynamic-update-slice accumulator in `_sw_core` is correct but
     compile-pathological on some TPU toolchains (minutes-long layout
-    analysis of in-loop DUS over a multi-hundred-MB buffer).  When the
-    scan interval divides the ROI, every window subdivides into
-    (roi/step)^nd step-sized cells on a regular cell grid, so blending
-    becomes a STATIC pad-and-add of (roi/step)^nd shifted copies — no
-    dynamic updates anywhere, one fused elementwise pass.
+    analysis of in-loop DUS over a multi-hundred-MB buffer).  On a
+    regular-stride grid every window subdivides into ceil(roi/step)^nd
+    step-sized cells (windows are zero-padded up to whole cells when the
+    step does not divide the ROI — padded cells contribute zeros to both
+    accumulator and normalizer), so blending becomes a STATIC pad-and-add
+    of shifted copies — no dynamic updates anywhere.
 
     count (the blend normalizer) is a host-precomputed constant.
     """
@@ -182,7 +183,12 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
     outs = outs.reshape(-1, b, *roi, out_channels)[:int(np.prod(grid))]
     outs = jnp.moveaxis(outs, 1, 0).reshape(b, *grid, *roi, out_channels)
 
-    ratios = tuple(r // s for r, s in zip(roi, interval))     # cells/window
+    ratios = tuple(-(-r // s) for r, s in zip(roi, interval))  # cells/window
+    cell_roi = tuple(rt * s for rt, s in zip(ratios, interval))
+    if cell_roi != tuple(roi):  # zero-pad windows to whole cells
+        wpads = ([(0, 0)] * (1 + nd)
+                 + [(0, c - r) for c, r in zip(cell_roi, roi)] + [(0, 0)])
+        outs = jnp.pad(outs, wpads)
     cells = tuple(g + rt - 1 for g, rt in zip(grid, ratios))  # padded cell grid
     acc = jnp.zeros((b, *[c * s for c, s in zip(cells, interval)], out_channels),
                     jnp.float32)
@@ -290,31 +296,22 @@ class SlidingWindowInferer:
         # crop.  Everything per-call is inside the jit (eager ops would cost
         # a dispatch round trip each on remote backends), and the big blend
         # arrays are cached device ARGUMENTS, not baked HLO constants.
-        regular = all(r % s == 0 for r, s in zip(roi, interval))
         key = (spatial, padded, inputs.shape[0], inputs.shape[-1],
-               self.sw_batch_size, regular)
+               self.sw_batch_size)
         if key not in self._jitted:
             starts = jnp.asarray(self._grouped_starts(padded))
             imp = jnp.asarray(self._importance())
-            if regular:
-                grid = tuple((p - r) // s + 1
-                             for p, r, s in zip(padded, roi, interval))
-                count = jnp.asarray(self._overlap_count(grid, roi, interval))
-            else:
-                grid = count = None
+            grid = tuple(-(-(p - r) // s) + 1
+                         for p, r, s in zip(padded, roi, interval))
+            count = jnp.asarray(self._overlap_count(grid, roi, interval))
 
             def full(p, inp, mods, starts, imp, count):
                 predict = bind_predict(p)
                 x = jnp.pad(inp, pads) if any(q != (0, 0) for q in pads) else inp
-                if count is not None:
-                    out = _sw_core_overlap_add(predict, x, mods, starts, imp,
-                                               count, grid=grid, roi=roi,
-                                               interval=interval,
-                                               out_channels=out_ch)
-                else:
-                    out = _sw_core(predict, x, mods, starts, imp, roi=roi,
-                                   sw_batch_size=self.sw_batch_size,
-                                   out_channels=out_ch)
+                out = _sw_core_overlap_add(predict, x, mods, starts, imp,
+                                           count, grid=grid, roi=roi,
+                                           interval=interval,
+                                           out_channels=out_ch)
                 crop = tuple(slice(q[0], q[0] + s)
                              for q, s in zip(pads[1:-1], spatial))
                 return out[(slice(None), *crop, slice(None))]
@@ -324,15 +321,20 @@ class SlidingWindowInferer:
         return fn(params, inputs, modalities, starts, imp, count)
 
     def _overlap_count(self, grid, roi, interval) -> np.ndarray:
-        """Host-precomputed blend normalizer `[1, *padded, 1]`."""
+        """Host-precomputed blend normalizer, shaped like the cell-padded
+        accumulator (`[1, *(grid+ratio-1)*step, 1]`); the never-cropped
+        region beyond the true padded volume is set to 1 to avoid 0/0."""
         imp = self._importance()
-        padded = tuple((g - 1) * s + r for g, r, s in zip(grid, roi, interval))
-        cnt = np.zeros(padded, np.float64)
+        ratios = tuple(-(-r // s) for r, s in zip(roi, interval))
+        acc_shape = tuple((g + rt - 1) * s
+                          for g, rt, s in zip(grid, ratios, interval))
+        cnt = np.zeros(acc_shape, np.float64)
         for corner in itertools.product(*[range(g) for g in grid]):
             sl = tuple(slice(c * s, c * s + r)
                        for c, r, s in zip(corner, roi, interval))
             cnt[sl] += imp
-        return cnt.reshape(1, *padded, 1).astype(np.float32)
+        cnt[cnt == 0] = 1.0
+        return cnt.reshape(1, *acc_shape, 1).astype(np.float32)
 
     def _host_stitch(self, predict_fn, x, modalities, starts, out_ch):
         """Device predict per window batch, accumulate in host numpy."""
