@@ -147,7 +147,7 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
                          importance: Array, count: Array, *,
                          grid: tuple[int, ...], roi: tuple[int, ...],
                          interval: tuple[int, ...],
-                         out_channels: int) -> Array:
+                         out_channels: int, mesh=None) -> Array:
     """Static overlap-add blend for regular-stride window grids.
 
     The scan/dynamic-update-slice accumulator in `_sw_core` is correct but
@@ -165,20 +165,50 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
     nd = len(roi)
     imp = importance.reshape(1, *roi, 1).astype(jnp.float32)
 
-    def extract(start):
-        return jax.lax.dynamic_slice(
-            x, (0, *[start[i] for i in range(nd)], 0), (b, *roi, x.shape[-1]))
+    def scan_windows(x, modalities, starts, imp):
+        def extract(start):
+            return jax.lax.dynamic_slice(
+                x, (0, *[start[i] for i in range(nd)], 0),
+                (b, *roi, x.shape[-1]))
 
-    def step(_, group):
-        windows = jax.vmap(extract)(group)          # [k, B, *roi, C]
-        k = windows.shape[0]
-        windows = windows.reshape(k * b, *roi, x.shape[-1])
-        mods = (jnp.tile(modalities, k) if modalities is not None else None)
-        logits = predict_fn(windows, mods).astype(jnp.float32)
-        logits = logits.reshape(k, b, *roi, out_channels) * imp[None]
-        return None, logits
+        def step(_, group):
+            windows = jax.vmap(extract)(group)      # [k, B, *roi, C]
+            k = windows.shape[0]
+            windows = windows.reshape(k * b, *roi, x.shape[-1])
+            mods = (jnp.tile(modalities, k) if modalities is not None else None)
+            logits = predict_fn(windows, mods).astype(jnp.float32)
+            logits = logits.reshape(k, b, *roi, out_channels) * imp[None]
+            return None, logits
 
-    _, outs = jax.lax.scan(step, None, starts)
+        return jax.lax.scan(step, None, starts)[1]
+
+    if mesh is not None and mesh.devices.size > 1:
+        # window fan-out across the mesh: each device scans its shard of
+        # the window grid (embarrassingly parallel); the overlap-add below
+        # consumes the gathered result (XLA inserts the all-gather).
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        ng = starts.shape[0]
+        pad_g = (n_dev - ng % n_dev) % n_dev
+        if pad_g:
+            starts = jnp.concatenate(
+                [starts, jnp.repeat(starts[-1:], pad_g, 0)], 0)
+
+        def per_dev(x, mods, starts_local, imp):
+            return scan_windows(x, mods, starts_local, imp)
+
+        in_specs = (P(), P() if modalities is not None else None, P(axis), P())
+        if modalities is None:
+            outs = shard_map(lambda x, s, i: per_dev(x, None, s, i), mesh,
+                             in_specs=(P(), P(axis), P()),
+                             out_specs=P(axis))(x, starts, imp)
+        else:
+            outs = shard_map(per_dev, mesh, in_specs=in_specs,
+                             out_specs=P(axis))(x, modalities, starts, imp)
+    else:
+        outs = scan_windows(x, modalities, starts, imp)
     # [Ng, k, B, *roi, O] → window-grid [B, *grid, *roi, O]
     outs = outs.reshape(-1, b, *roi, out_channels)[:int(np.prod(grid))]
     outs = jnp.moveaxis(outs, 1, 0).reshape(b, *grid, *roi, out_channels)
@@ -229,7 +259,12 @@ class SlidingWindowInferer:
                  sw_batch_size: int = 1, overlap: float = 0.5,
                  mode: str = "constant", sigma_scale: float = 0.125,
                  out_channels: int | None = None,
-                 stitch_on_host: bool = False, progress: bool = False):
+                 stitch_on_host: bool = False, progress: bool = False,
+                 mesh=None):
+        # mesh: optional jax.sharding.Mesh — windows fan out across its
+        # first axis (each device scans its shard of the window grid), an
+        # inference-scaling capability with no reference analog.
+        self.mesh = mesh
         # `progress` shows a tqdm bar on the host-stitch path (the
         # reference's predict_whs.py:78 behavior); the fully-jitted device
         # path is one program and has no per-window host visibility.
@@ -311,7 +346,8 @@ class SlidingWindowInferer:
                 out = _sw_core_overlap_add(predict, x, mods, starts, imp,
                                            count, grid=grid, roi=roi,
                                            interval=interval,
-                                           out_channels=out_ch)
+                                           out_channels=out_ch,
+                                           mesh=self.mesh)
                 crop = tuple(slice(q[0], q[0] + s)
                              for q, s in zip(pads[1:-1], spatial))
                 return out[(slice(None), *crop, slice(None))]

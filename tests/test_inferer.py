@@ -152,3 +152,18 @@ def test_params_as_argument(rng):
     assert float(inf(x, None, jnp.float32(w1)).mean()) == pytest.approx(w1)
     assert float(inf(x, None, jnp.float32(w2)).mean()) == pytest.approx(w2)
     assert len(inf._jitted) == 1  # same compiled program for both
+
+
+def test_mesh_window_fanout_matches_single_device(rng):
+    """Sliding-window with windows sharded over an 8-device mesh must equal
+    the single-device result (multi-chip inference scaling)."""
+    from miseg_tpu.parallel import make_mesh
+    mesh = make_mesh((8,), ("data",))
+    x = jnp.asarray(rng.random((1, 24, 24, 24, 1)), jnp.float32)
+    kw = dict(roi_size=(16, 16, 16), sw_batch_size=1, overlap=0.5,
+              mode="gaussian", out_channels=2)
+    single = SlidingWindowInferer(_sum_model, **kw)
+    multi = SlidingWindowInferer(_sum_model, mesh=mesh, **kw)
+    a = np.asarray(single(x, jnp.array([1], jnp.int32)))
+    b = np.asarray(multi(x, jnp.array([1], jnp.int32)))
+    assert np.allclose(a, b, atol=1e-4)
