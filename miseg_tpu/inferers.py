@@ -199,13 +199,13 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
         def per_dev(x, mods, starts_local, imp):
             return scan_windows(x, mods, starts_local, imp)
 
-        in_specs = (P(), P() if modalities is not None else None, P(axis), P())
         if modalities is None:
-            outs = shard_map(lambda x, s, i: per_dev(x, None, s, i), mesh,
-                             in_specs=(P(), P(axis), P()),
+            outs = shard_map(lambda x, s, i: per_dev(x, None, s, i),
+                             mesh=mesh, in_specs=(P(), P(axis), P()),
                              out_specs=P(axis))(x, starts, imp)
         else:
-            outs = shard_map(per_dev, mesh, in_specs=in_specs,
+            outs = shard_map(per_dev, mesh=mesh,
+                             in_specs=(P(), P(), P(axis), P()),
                              out_specs=P(axis))(x, modalities, starts, imp)
     else:
         outs = scan_windows(x, modalities, starts, imp)
