@@ -46,8 +46,8 @@ class Norm(nn.Module):
                 raise ValueError("instance_cond norm requires a `modalities` vector")
             gamma = self.param("scale", nn.initializers.ones, (self.num_styles, c))
             beta = self.param("bias", nn.initializers.zeros, (self.num_styles, c))
-            from ..ops.dispatch import use_pallas
-            if use_pallas() and x.ndim >= 3:
+            from ..ops.dispatch import use_pallas_norm
+            if use_pallas_norm() and x.ndim >= 3:
                 from ..ops.pallas import fused_conditional_instance_norm
                 return fused_conditional_instance_norm(x, modalities, gamma,
                                                        beta, eps=self.eps)

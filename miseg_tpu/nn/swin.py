@@ -95,8 +95,8 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[jnp.asarray(index)].reshape(n, n, -1)
         rel_bias = rel_bias.transpose(2, 0, 1)  # [H, N, N]
 
-        from ..ops.dispatch import use_pallas
-        fuse = use_pallas() and not (train and self.attn_drop > 0)
+        from ..ops.dispatch import use_pallas_attn
+        fuse = use_pallas_attn() and not (train and self.attn_drop > 0)
         if fuse:
             from ..ops.pallas import fused_window_attention
             qkv = qkv.reshape(b, n, 3, c)

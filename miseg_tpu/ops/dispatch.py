@@ -12,14 +12,38 @@ import os
 import jax
 
 
+def _flag(name: str) -> bool | None:
+    env = os.environ.get(name)
+    if env is None:
+        return None
+    return env not in ("0", "false", "off")
+
+
 @functools.lru_cache(maxsize=1)
 def use_pallas() -> bool:
-    env = os.environ.get("MISEG_PALLAS")
+    env = _flag("MISEG_PALLAS")
     if env is not None:
-        return env not in ("0", "false", "off")
+        return env
     # Default OFF: measured on v5e, the current fused kernels trail XLA's
-    # own fusion on the full C-Swin-UNETR forward (39ms vs 60ms/window) —
-    # the per-(window, head) attention grid under-utilizes the MXU.  The
-    # kernels are correct (parity-tested) and opt-in via MISEG_PALLAS=1
-    # pending grid/layout tuning.
+    # own fusion on the full C-Swin-UNETR forward (39ms vs 60ms/window).
+    # The kernels are correct (parity-tested) and opt-in via MISEG_PALLAS=1
+    # (or per-kernel MISEG_PALLAS_NORM / MISEG_PALLAS_ATTN) pending tuning.
     return False
+
+
+@functools.lru_cache(maxsize=1)
+def use_pallas_norm() -> bool:
+    env = _flag("MISEG_PALLAS_NORM")
+    return env if env is not None else use_pallas()
+
+
+@functools.lru_cache(maxsize=1)
+def use_pallas_attn() -> bool:
+    env = _flag("MISEG_PALLAS_ATTN")
+    return env if env is not None else use_pallas()
+
+
+def clear_cache() -> None:
+    use_pallas.cache_clear()
+    use_pallas_norm.cache_clear()
+    use_pallas_attn.cache_clear()

@@ -26,24 +26,28 @@ Array = jax.Array
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                 scale: float):
-    """One (window, head) per grid step; every in-kernel tensor is 2D
-    (Mosaic rejects lane-splitting reshapes like [N, C]→[N, H, hd])."""
-    q = q_ref[0, 0].astype(jnp.float32) * scale       # [N, hd]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [N, N]
-    s = s + bias_ref[0]
-    if mask_ref is not None:
-        s = s + mask_ref[0]
-    p = jax.nn.softmax(s, axis=-1)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32) \
-        .astype(o_ref.dtype)
+                 scale: float, num_heads: int):
+    """One WINDOW per grid step, all heads in a static loop (amortizes the
+    bias/mask block residency; traversal over heads uses static indices —
+    Mosaic rejects lane-splitting reshapes and traced dynamic slices)."""
+    for h in range(num_heads):
+        q = q_ref[0, h].astype(jnp.float32) * scale   # [N, hd]
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [N, N]
+        s = s + bias_ref[h]
+        if mask_ref is not None:
+            s = s + mask_ref[0]
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0, h] = jnp.dot(p, v, preferred_element_type=jnp.float32) \
+            .astype(o_ref.dtype)
 
 
-def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    _attn_kernel(q_ref, k_ref, v_ref, bias_ref, None, o_ref, scale=scale)
+def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                        num_heads: int):
+    _attn_kernel(q_ref, k_ref, v_ref, bias_ref, None, o_ref, scale=scale,
+                 num_heads=num_heads)
 
 
 def _pallas_forward(q, k, v, bias, mask, *, num_heads: int, interpret: bool):
@@ -55,17 +59,17 @@ def _pallas_forward(q, k, v, bias, mask, *, num_heads: int, interpret: bool):
         return x.reshape(bw, n, num_heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split(q), split(k), split(v)
-    spec_tok = pl.BlockSpec((1, 1, n, hd), lambda i, h: (i, h, 0, 0),
+    spec_tok = pl.BlockSpec((1, num_heads, n, hd), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_bias = pl.BlockSpec((1, n, n), lambda i, h: (h, 0, 0),
+    spec_bias = pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    grid = (bw, num_heads)
+    grid = (bw,)
     if mask is not None:
         nw = mask.shape[0]
-        spec_mask = pl.BlockSpec((1, n, n), lambda i, h: (i % nw, 0, 0),
+        spec_mask = pl.BlockSpec((1, n, n), lambda i: (i % nw, 0, 0),
                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale),
+            functools.partial(_attn_kernel, scale=scale, num_heads=num_heads),
             grid=grid,
             in_specs=[spec_tok, spec_tok, spec_tok, spec_bias, spec_mask],
             out_specs=spec_tok,
@@ -74,7 +78,8 @@ def _pallas_forward(q, k, v, bias, mask, *, num_heads: int, interpret: bool):
         )(qh, kh, vh, bias, mask)
     else:
         out = pl.pallas_call(
-            functools.partial(_attn_kernel_nomask, scale=scale),
+            functools.partial(_attn_kernel_nomask, scale=scale,
+                              num_heads=num_heads),
             grid=grid,
             in_specs=[spec_tok, spec_tok, spec_tok, spec_bias],
             out_specs=spec_tok,
