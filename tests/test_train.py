@@ -225,3 +225,32 @@ def test_batch_norm_trains_and_evals(tmp_path):
     out = tr.apply_fn(state.params, jnp.asarray(img),
                       jnp.zeros(2, jnp.int32), extra_vars=state.extra_vars)
     assert out.shape == (2, 8, 8, 8, 2)
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    """--ckpt_path resume restores params/epoch and continues training."""
+    from miseg_tpu.data.multi_modal import MultiModalData
+    from miseg_tpu.data.synthetic import make_synthetic_dataset
+    from miseg_tpu.train.engine import Trainer
+    make_synthetic_dataset(tmp_path, shape=(24, 24, 24), num_classes=2,
+                           n_train=1, n_val=1)
+    base = dict(model_name="unet", roi_x=16, roi_y=16, roi_z=16,
+                out_channels=2, feature_size=[2], num_layers=2, strides=[2],
+                num_res_units=0, encoder_norm_name="instance",
+                decoder_norm_name="instance", criterion="dice_ce",
+                data_dirs=[str(tmp_path)], json_lists=["CT.json"],
+                check_val_every_n_epoch=1, batch_size=1,
+                scheduler="none", cache_num=0, use_normal_dataset=True,
+                num_workers=0, no_amp=True, precision="fp32", patience=100,
+                default_root_dir=str(tmp_path / "exp"))
+    cfg1 = Config(max_epochs=2, **base)
+    t1 = Trainer(cfg1, workdir=str(tmp_path / "exp"))
+    t1.fit(MultiModalData(cfg1))
+    assert (tmp_path / "exp" / "last.ckpt").exists()
+
+    cfg2 = Config(max_epochs=4, ckpt_path=str(tmp_path / "exp" / "last.ckpt"),
+                  **base)
+    t2 = Trainer(cfg2, workdir=str(tmp_path / "exp2"))
+    state = t2.fit(MultiModalData(cfg2))
+    # resumed at epoch 2 → exactly 2 more epochs × 1 batch each
+    assert int(state.step) == 2
