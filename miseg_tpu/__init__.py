@@ -18,3 +18,23 @@ Layout conventions (TPU-first, deliberately different from the reference):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps bare `import miseg_tpu` jax-import-free)."""
+    if name == "Config":
+        from .config import Config
+        return Config
+    if name == "Trainer":
+        from .train.engine import Trainer
+        return Trainer
+    if name == "model_from_config":
+        from .models import model_from_config
+        return model_from_config
+    if name == "SlidingWindowInferer":
+        from .inferers import SlidingWindowInferer
+        return SlidingWindowInferer
+    if name == "MultiModalData":
+        from .data.multi_modal import MultiModalData
+        return MultiModalData
+    raise AttributeError(f"module 'miseg_tpu' has no attribute {name!r}")

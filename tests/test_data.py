@@ -140,3 +140,28 @@ def test_loader_epoch_reseed(synth):
     loader2.set_epoch(0)
     c = [b["modality"] for b in loader2]
     assert all((x == y).all() for x, y in zip(a, c))  # same epoch → same order
+
+
+def test_orientation_oblique_affine(tmp_path, rng):
+    """Slightly oblique affines (direction cosines off-axis) must still
+    resolve a consistent RAS permutation and invert cleanly."""
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("xyz", [8, -5, 3], degrees=True).as_matrix()
+    aff = np.eye(4)
+    aff[:3, :3] = R @ np.diag([-1.2, 1.0, 1.5])  # oblique + one flip
+    data = rng.random((10, 12, 14)).astype(np.float32)
+    save_nifti(tmp_path / "o.nii", data, aff)
+    tr = T.Compose([T.LoadImaged(["image"]), T.EnsureChannelLastd(["image"]),
+                    T.Orientationd(["image"])])
+    out = tr({"image": str(tmp_path / "o.nii")})
+    new_aff = out["image_meta"]["affine"]
+    assert np.all(np.diag(new_aff)[:3] > 0)  # dominant directions RAS
+    inv = tr.inverse(out, key="image")
+    assert np.allclose(inv["image"], data, atol=1e-5)
+
+
+def test_public_api_lazy_imports():
+    import miseg_tpu
+    assert miseg_tpu.Config is not None
+    assert miseg_tpu.Trainer is not None
+    assert miseg_tpu.SlidingWindowInferer is not None
