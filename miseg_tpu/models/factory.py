@@ -47,6 +47,7 @@ def model_from_config(cfg: Config) -> nn.Module:
             num_heads=cfg.num_heads, pos_embed=cfg.pos_embed,
             conv_block=not cfg.no_conv_block, res_block=not cfg.no_res_block,
             dropout_rate=cfg.dropout_rate, qkv_bias=cfg.qkv_bias,
+            use_checkpoint=cfg.use_checkpoint,
             vit_norm=vit_norm, decoder_norm=decoder_norm,
             encoder_norm=encoder_norm)
     if name == "unet":

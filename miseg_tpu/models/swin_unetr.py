@@ -86,10 +86,17 @@ class SwinUNETR(nn.Module):
             norm=self.vit_norm, name="swinViT")(
                 x_in, self.normalize, modalities, train=train)
 
+        # use_checkpoint remats the 96³ conv blocks too — they, not the swin
+        # blocks, dominate training HBM (batch-2 OOMs by 6GB without this)
+        basic_cls = (nn.remat(UnetrBasicBlock, static_argnums=(3,))
+                     if self.use_checkpoint else UnetrBasicBlock)
+        up_cls = (nn.remat(UnetrUpBlock, static_argnums=(4,))
+                  if self.use_checkpoint else UnetrUpBlock)
+
         def enc(out_ch, name, x):
-            return UnetrBasicBlock(out_channels=out_ch, kernel_size=3, stride=1,
-                                   norm=self.encoder_norm, res_block=True,
-                                   name=name)(x, modalities, train=train)
+            return basic_cls(out_channels=out_ch, kernel_size=3, stride=1,
+                             norm=self.encoder_norm, res_block=True,
+                             name=name)(x, modalities, train)
 
         enc0 = enc(fs, "encoder1", x_in)
         enc1 = enc(fs, "encoder2", hidden[0])
@@ -98,10 +105,10 @@ class SwinUNETR(nn.Module):
         dec4 = enc(16 * fs, "encoder10", hidden[4])
 
         def dec(out_ch, name, x, skip):
-            return UnetrUpBlock(out_channels=out_ch, kernel_size=3,
-                                upsample_kernel_size=2, norm=self.decoder_norm,
-                                res_block=True, name=name)(x, skip, modalities,
-                                                           train=train)
+            return up_cls(out_channels=out_ch, kernel_size=3,
+                          upsample_kernel_size=2, norm=self.decoder_norm,
+                          res_block=True, name=name)(x, skip, modalities,
+                                                     train)
 
         dec3 = dec(8 * fs, "decoder5", dec4, hidden[3])
         dec2 = dec(4 * fs, "decoder4", dec3, enc3)

@@ -40,6 +40,7 @@ class UNETR(nn.Module):
     res_block: bool = True
     dropout_rate: float = 0.0
     qkv_bias: bool = False
+    use_checkpoint: bool = False
     vit_norm: NormSpec = ("layer", {})
     decoder_norm: NormSpec = ("instance", {})
     encoder_norm: NormSpec = ("instance", {})
@@ -73,9 +74,16 @@ class UNETR(nn.Module):
             norm=self.vit_norm, name="vit")(x_in, modalities, train=train)
 
         fs = self.feature_size
-        enc1 = UnetrBasicBlock(out_channels=fs, kernel_size=3, stride=1,
-                               norm=self.encoder_norm, res_block=self.res_block,
-                               name="encoder1")(x_in, modalities, train=train)
+        # use_checkpoint remats the full-resolution conv blocks (the HBM
+        # hot spots at train time); `train` is passed positionally so
+        # nn.remat can mark it static
+        basic_cls = (nn.remat(UnetrBasicBlock, static_argnums=(3,))
+                     if self.use_checkpoint else UnetrBasicBlock)
+        up_cls = (nn.remat(UnetrUpBlock, static_argnums=(4,))
+                  if self.use_checkpoint else UnetrUpBlock)
+        enc1 = basic_cls(out_channels=fs, kernel_size=3, stride=1,
+                         norm=self.encoder_norm, res_block=self.res_block,
+                         name="encoder1")(x_in, modalities, train)
         enc2 = UnetrPrUpBlock(out_channels=fs * 2, num_layer=2, kernel_size=3,
                               stride=1, upsample_kernel_size=2,
                               norm=self.encoder_norm, conv_block=self.conv_block,
@@ -93,20 +101,20 @@ class UNETR(nn.Module):
                                   proj_feat(hidden[9]), modalities, train=train)
 
         dec4 = proj_feat(x)
-        dec3 = UnetrUpBlock(out_channels=fs * 8, kernel_size=3,
+        dec3 = up_cls(out_channels=fs * 8, kernel_size=3,
                             upsample_kernel_size=2, norm=self.decoder_norm,
                             res_block=self.res_block, name="decoder5")(
-                                dec4, enc4, modalities, train=train)
-        dec2 = UnetrUpBlock(out_channels=fs * 4, kernel_size=3,
+                                dec4, enc4, modalities, train)
+        dec2 = up_cls(out_channels=fs * 4, kernel_size=3,
                             upsample_kernel_size=2, norm=self.decoder_norm,
                             res_block=self.res_block, name="decoder4")(
-                                dec3, enc3, modalities, train=train)
-        dec1 = UnetrUpBlock(out_channels=fs * 2, kernel_size=3,
+                                dec3, enc3, modalities, train)
+        dec1 = up_cls(out_channels=fs * 2, kernel_size=3,
                             upsample_kernel_size=2, norm=self.decoder_norm,
                             res_block=self.res_block, name="decoder3")(
-                                dec2, enc2, modalities, train=train)
-        out = UnetrUpBlock(out_channels=fs, kernel_size=3,
+                                dec2, enc2, modalities, train)
+        out = up_cls(out_channels=fs, kernel_size=3,
                            upsample_kernel_size=2, norm=self.decoder_norm,
                            res_block=self.res_block, name="decoder2")(
-                               dec1, enc1, modalities, train=train)
+                               dec1, enc1, modalities, train)
         return UnetOutBlock(out_channels=self.out_channels, name="out")(out, train=train)

@@ -28,7 +28,8 @@ class UnetrBasicBlock(nn.Module):
     res_block: bool = False
 
     @nn.compact
-    def __call__(self, x, modalities=None, *, train: bool = False):
+    def __call__(self, x, modalities=None, train: bool = False):
+        # `train` positional-or-keyword: nn.remat(..., static_argnums=(3,))
         block = UnetResBlock if self.res_block else UnetBasicBlock
         return block(out_channels=self.out_channels, kernel_size=self.kernel_size,
                      stride=self.stride, norm=self.norm, name="layer")(
@@ -43,7 +44,8 @@ class UnetrUpBlock(nn.Module):
     res_block: bool = False
 
     @nn.compact
-    def __call__(self, x, skip, modalities=None, *, train: bool = False):
+    def __call__(self, x, skip, modalities=None, train: bool = False):
+        # `train` positional-or-keyword: nn.remat(..., static_argnums=(4,))
         up = _conv(self.out_channels, self.upsample_kernel_size,
                    self.upsample_kernel_size, transposed=True, name="transp_conv")(x)
         out = jnp.concatenate([up, skip], axis=-1)
