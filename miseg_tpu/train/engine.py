@@ -237,12 +237,13 @@ class Trainer:
             modality = batch.get("modality")
             mod_arr = (jnp.asarray(modality) if modality is not None else None)
             logits = inferer(image, mod_arr, (state.params, state.extra_vars))
-            losses.append(float(self.loss_fn(logits, jnp.asarray(label))))
+            # keep everything as device arrays in-loop — converting per
+            # volume would force a dispatch sync per volume (costly on
+            # remote backends); one block at the end drains the pipeline
+            losses.append(self.loss_fn(logits, jnp.asarray(label)))
             pred = as_discrete(logits, argmax=True, to_onehot=cfg.out_channels)
             targ = as_discrete(jnp.asarray(label), to_onehot=cfg.out_channels)
-            rows = np.asarray(dice_score(pred, targ, include_background=True))
-            dice_rows.append(rows)
-            vol_accs.append(float(np.nanmean(rows)))
+            dice_rows.append(dice_score(pred, targ, include_background=True))
             if modality is not None:
                 mods.append(np.asarray(modality).reshape(-1))
             if compute_surface:
@@ -250,6 +251,9 @@ class Trainer:
                     np.asarray(pred), np.asarray(targ),
                     include_background=cfg.include_background))
 
+        dice_rows = [np.asarray(r) for r in dice_rows]
+        losses = [float(l) for l in losses]
+        vol_accs = [float(np.nanmean(r)) for r in dice_rows]
         dice_all = np.concatenate(dice_rows, axis=0)
         per_class, not_nans = reduce_mean_batch(dice_all)
         metrics = {f"{prefix}/loss/avg": float(np.mean(losses)),
