@@ -1,0 +1,67 @@
+"""Small utilities: dashboard report, metric logger, step timer, config CLI."""
+
+import json
+
+import numpy as np
+
+from miseg_tpu.config import Config, build_parser
+
+
+def test_dashboard_report(tmp_path):
+    from miseg_tpu.cli.dashboard import study_report
+    from miseg_tpu.hpo import create_study
+    storage = str(tmp_path / "j.jsonl")
+    study = create_study(storage=storage)
+    study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=3)
+    rep = study_report(storage)
+    assert rep["n_trials"] == 3
+    assert rep["best"] is not None
+    assert all(t["state"] == "complete" for t in rep["trials"])
+
+
+def test_metric_logger_jsonl(tmp_path):
+    from miseg_tpu.utils.logging import MetricLogger
+    lg = MetricLogger(tmp_path, quiet=True)
+    lg.log({"a": 1.5}, step=3)
+    lg.log({"b": 2.0})
+    lg.finish()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["a"] == 1.5 and lines[0]["step"] == 3
+    assert "b" in lines[1]
+
+
+def test_step_timer():
+    from miseg_tpu.utils.profiling import StepTimer
+    t = StepTimer(skip_first=1)
+    import time
+    for _ in range(3):
+        t.start()
+        time.sleep(0.01)
+        t.stop()
+    assert t.steps_per_sec > 0
+
+
+def test_cli_parser_roundtrip():
+    parser = build_parser()
+    args = parser.parse_args([
+        "--model_name", "swin_unetr", "--feature_size", "48",
+        "--num_heads", "3", "--encoder_norm_name", "instance_cond",
+        "--vit_norm_name", "instance_cond", "--lr", "1e-4",
+        "--batch_size", "1", "--patches_training_sample", "1",
+        "--max_epochs", "2500", "--use_checkpoint",
+        "--data_dirs", "a", "b", "--json_lists", "CT_fold1.json", "MR.json"])
+    cfg = Config.from_args(args)
+    assert cfg.model_name == "swin_unetr"
+    assert cfg.feature_size_scalar == 48
+    assert cfg.use_checkpoint is True
+    assert cfg.lr == 1e-4
+    assert cfg.json_lists == ["CT_fold1.json", "MR.json"]
+    assert cfg.roi == (96, 96, 96)
+
+
+def test_sync_wandb_lists_offline(tmp_path, capsys):
+    from miseg_tpu.cli import sync_wandb
+    (tmp_path / "offline-run-x").mkdir()
+    sync_wandb.main(["--dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "offline-run-x" in out or "pending sync" in out
