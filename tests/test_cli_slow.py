@@ -1,0 +1,59 @@
+"""CLI-level end-to-end regression tests (slow: full entry-point flows
+on synthetic data, minutes of CPU compile)."""
+
+import numpy as np
+import pytest
+
+from miseg_tpu.config import Config
+from miseg_tpu.data.nifti import load_nifti
+from miseg_tpu.data.synthetic import make_synthetic_dataset
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    make_synthetic_dataset(root, shape=(40, 40, 40), num_classes=3)
+    cfg = Config(model_name="unet", feature_size=[4], num_layers=2,
+                 strides=[2], num_res_units=1, out_channels=3,
+                 roi_x=32, roi_y=32, roi_z=32,
+                 encoder_norm_name="instance_cond",
+                 decoder_norm_name="instance", criterion="dice_ce",
+                 data_dirs=[str(root)] * 2, json_lists=["CT.json", "MR.json"],
+                 max_epochs=1, batch_size=2, scheduler="none", cache_num=0,
+                 use_normal_dataset=True, num_workers=0, no_amp=True,
+                 precision="fp32", patience=10,
+                 default_root_dir=str(root / "exp"), study_name="s")
+    return root, cfg
+
+
+def test_train_cli_then_test_cli(env):
+    from miseg_tpu.cli import test as test_cli
+    from miseg_tpu.cli import train as train_cli
+    root, cfg = env
+    train_cli.main(cfg)
+    best = root / "exp" / "s" / "best.ckpt"
+    assert best.exists()
+    metrics = test_cli.main(cfg.replace(ckpt_path=str(best)))
+    assert "val_total_surface_distance/class0" in metrics
+    assert np.isfinite(metrics["test/accuracy/avg"])
+
+
+def test_predict_cli_native_space(env):
+    from miseg_tpu.cli import predict_whs
+    root, cfg = env
+    best = root / "exp" / "s" / "best.ckpt"
+    written = predict_whs.main(
+        cfg.replace(ckpt_path=str(best), json_lists=["CT.json"],
+                    data_dirs=[str(root)]),
+        result_dir=str(root / "pred"))
+    assert written
+    pred = load_nifti(written[0])
+    # values remapped to MM-WHS label ids; shape/affine = native space
+    assert set(np.unique(pred.data)).issubset({0, 500, 600, 420, 550, 205,
+                                               820, 850})
+    src = load_nifti(str(root / "ct_train" /
+                         written[0].split("/")[-1].replace("label", "image")))
+    assert pred.data.shape == src.data.shape
+    assert np.allclose(pred.affine, src.affine, atol=1e-3)
