@@ -79,6 +79,21 @@ def gaussian_importance(roi_size: Sequence[int], sigma_scale: float = 0.125) -> 
     return np.maximum(out, out.max() * 1e-3).astype(np.float32)
 
 
+def _cell_geometry(grid: Sequence[int], roi: Sequence[int],
+                   interval: Sequence[int]):
+    """Shared cell-grid geometry for the overlap-add blend.
+
+    Single source of truth for ratios (cells/window, ceil), the
+    cell-padded window ROI, and the accumulator/normalizer spatial shape —
+    `_sw_core_overlap_add` and `_overlap_count` must agree exactly.
+    """
+    ratios = tuple(-(-r // s) for r, s in zip(roi, interval))
+    cell_roi = tuple(rt * s for rt, s in zip(ratios, interval))
+    acc_shape = tuple((g + rt - 1) * s
+                      for g, rt, s in zip(grid, ratios, interval))
+    return ratios, cell_roi, acc_shape
+
+
 def _pad_to_grid(spatial: Sequence[int], roi_size: Sequence[int],
                  interval: Sequence[int]) -> tuple[int, ...]:
     """Smallest padded size ≥ max(spatial, roi) with (size - roi) % step == 0."""
@@ -213,15 +228,12 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
     outs = outs.reshape(-1, b, *roi, out_channels)[:int(np.prod(grid))]
     outs = jnp.moveaxis(outs, 1, 0).reshape(b, *grid, *roi, out_channels)
 
-    ratios = tuple(-(-r // s) for r, s in zip(roi, interval))  # cells/window
-    cell_roi = tuple(rt * s for rt, s in zip(ratios, interval))
+    ratios, cell_roi, acc_shape = _cell_geometry(grid, roi, interval)
     if cell_roi != tuple(roi):  # zero-pad windows to whole cells
         wpads = ([(0, 0)] * (1 + nd)
                  + [(0, c - r) for c, r in zip(cell_roi, roi)] + [(0, 0)])
         outs = jnp.pad(outs, wpads)
-    cells = tuple(g + rt - 1 for g, rt in zip(grid, ratios))  # padded cell grid
-    acc = jnp.zeros((b, *[c * s for c, s in zip(cells, interval)], out_channels),
-                    jnp.float32)
+    acc = jnp.zeros((b, *acc_shape, out_channels), jnp.float32)
     for offsets in itertools.product(*[range(rt) for rt in ratios]):
         # window-local cell (dz,dy,dx) lands at cell index (g + offset)
         sub = outs
@@ -336,7 +348,8 @@ class SlidingWindowInferer:
         if key not in self._jitted:
             starts = jnp.asarray(self._grouped_starts(padded))
             imp = jnp.asarray(self._importance())
-            grid = tuple(-(-(p - r) // s) + 1
+            # exact: _pad_to_grid guarantees (p - r) % s == 0
+            grid = tuple((p - r) // s + 1
                          for p, r, s in zip(padded, roi, interval))
             count = jnp.asarray(self._overlap_count(grid, roi, interval))
 
@@ -361,9 +374,7 @@ class SlidingWindowInferer:
         accumulator (`[1, *(grid+ratio-1)*step, 1]`); the never-cropped
         region beyond the true padded volume is set to 1 to avoid 0/0."""
         imp = self._importance()
-        ratios = tuple(-(-r // s) for r, s in zip(roi, interval))
-        acc_shape = tuple((g + rt - 1) * s
-                          for g, rt, s in zip(grid, ratios, interval))
+        _, _, acc_shape = _cell_geometry(grid, roi, interval)
         cnt = np.zeros(acc_shape, np.float64)
         for corner in itertools.product(*[range(g) for g in grid]):
             sl = tuple(slice(c * s, c * s + r)

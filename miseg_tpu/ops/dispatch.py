@@ -14,9 +14,9 @@ import jax
 
 def _flag(name: str) -> bool | None:
     env = os.environ.get(name)
-    if env is None:
-        return None
-    return env not in ("0", "false", "off")
+    if env is None or env.strip() == "":
+        return None  # unset or set-but-empty → no opinion
+    return env.strip().lower() not in ("0", "false", "off")
 
 
 @functools.lru_cache(maxsize=1)

@@ -215,12 +215,14 @@ class Trainer:
         constants and force a full recompile every validation epoch)."""
         cfg = self.cfg
         if self._inferer is None:
+            mesh = self.mesh if self.mesh.devices.size > 1 else None
             self._inferer = SlidingWindowInferer(
                 lambda pv, w, m: self.apply_fn(pv[0], w, m, train=False,
                                                extra_vars=pv[1]),
                 roi_size=cfg.roi, sw_batch_size=cfg.sw_batch_size,
                 overlap=cfg.infer_overlap, mode=mode,
-                out_channels=cfg.out_channels, stitch_on_host=cfg.infer_cpu)
+                out_channels=cfg.out_channels, stitch_on_host=cfg.infer_cpu,
+                mesh=mesh)  # windows fan out across the mesh when present
         return self._inferer
 
     def evaluate(self, loader, state: TrainState, *, prefix: str = "val",
@@ -239,10 +241,14 @@ class Trainer:
             logits = inferer(image, mod_arr, (state.params, state.extra_vars))
             # keep everything as device arrays in-loop — converting per
             # volume would force a dispatch sync per volume (costly on
-            # remote backends); one block at the end drains the pipeline
-            losses.append(self.loss_fn(logits, jnp.asarray(label)))
+            # remote backends); one block at the end drains the pipeline.
+            # Losses are PER VOLUME (not per batch) so the per-modality
+            # breakdown below aligns with the per-volume dice rows.
+            lab = jnp.asarray(label)
+            for i in range(logits.shape[0]):
+                losses.append(self.loss_fn(logits[i:i + 1], lab[i:i + 1]))
             pred = as_discrete(logits, argmax=True, to_onehot=cfg.out_channels)
-            targ = as_discrete(jnp.asarray(label), to_onehot=cfg.out_channels)
+            targ = as_discrete(lab, to_onehot=cfg.out_channels)
             dice_rows.append(dice_score(pred, targ, include_background=True))
             if modality is not None:
                 mods.append(np.asarray(modality).reshape(-1))
@@ -253,7 +259,8 @@ class Trainer:
 
         dice_rows = [np.asarray(r) for r in dice_rows]
         losses = [float(l) for l in losses]
-        vol_accs = [float(np.nanmean(r)) for r in dice_rows]
+        # one acc per VOLUME (nanmean over its classes) to match mods
+        vol_accs = [float(np.nanmean(row)) for r in dice_rows for row in r]
         dice_all = np.concatenate(dice_rows, axis=0)
         per_class, not_nans = reduce_mean_batch(dice_all)
         metrics = {f"{prefix}/loss/avg": float(np.mean(losses)),

@@ -25,14 +25,15 @@ def env(tmp_path_factory):
                  use_normal_dataset=True, num_workers=0, no_amp=True,
                  precision="fp32", patience=10,
                  default_root_dir=str(root / "exp"), study_name="s")
+    # train once here so each test is independently runnable
+    from miseg_tpu.cli import train as train_cli
+    train_cli.main(cfg)
     return root, cfg
 
 
 def test_train_cli_then_test_cli(env):
     from miseg_tpu.cli import test as test_cli
-    from miseg_tpu.cli import train as train_cli
     root, cfg = env
-    train_cli.main(cfg)
     best = root / "exp" / "s" / "best.ckpt"
     assert best.exists()
     metrics = test_cli.main(cfg.replace(ckpt_path=str(best)))
@@ -53,7 +54,8 @@ def test_predict_cli_native_space(env):
     # values remapped to MM-WHS label ids; shape/affine = native space
     assert set(np.unique(pred.data)).issubset({0, 500, 600, 420, 550, 205,
                                                820, 850})
+    import os
     src = load_nifti(str(root / "ct_train" /
-                         written[0].split("/")[-1].replace("label", "image")))
+                         os.path.basename(written[0]).replace("label", "image")))
     assert pred.data.shape == src.data.shape
     assert np.allclose(pred.affine, src.affine, atol=1e-3)

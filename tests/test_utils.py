@@ -65,3 +65,27 @@ def test_sync_wandb_lists_offline(tmp_path, capsys):
     sync_wandb.main(["--dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "offline-run-x" in out or "pending sync" in out
+
+
+def test_pallas_dispatch_flag_precedence(monkeypatch):
+    from miseg_tpu.ops import dispatch
+    cases = [
+        # (MISEG_PALLAS, MISEG_PALLAS_NORM, expected use_pallas_norm)
+        (None, None, False),       # default off
+        ("1", None, True),         # global on
+        ("1", "0", False),         # per-kernel off overrides global on
+        ("0", "1", True),          # per-kernel on overrides global off
+        ("1", "OFF", False),       # case-insensitive
+        ("1", "", True),           # empty = unset → inherit global
+        ("False", None, False),    # case-insensitive global
+    ]
+    for glob, norm, want in cases:
+        dispatch.clear_cache()
+        for k in ("MISEG_PALLAS", "MISEG_PALLAS_NORM", "MISEG_PALLAS_ATTN"):
+            monkeypatch.delenv(k, raising=False)
+        if glob is not None:
+            monkeypatch.setenv("MISEG_PALLAS", glob)
+        if norm is not None:
+            monkeypatch.setenv("MISEG_PALLAS_NORM", norm)
+        assert dispatch.use_pallas_norm() == want, (glob, norm)
+    dispatch.clear_cache()
