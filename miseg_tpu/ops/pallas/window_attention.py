@@ -25,11 +25,24 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _head_group(num_heads: int, n: int) -> int:
+    """Heads per grid step: the largest divisor of num_heads whose
+    per-step score temporaries (~3 × HG × N² f32) stay well under the
+    16MB scoped-vmem stack (12 heads × 343² overflows)."""
+    budget = 6 * 1024 * 1024
+    max_hg = max(1, budget // max(1, 3 * n * n * 4))
+    hg = 1
+    for cand in range(1, num_heads + 1):
+        if num_heads % cand == 0 and cand <= max_hg:
+            hg = cand
+    return hg
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
                  scale: float, num_heads: int):
-    """One WINDOW per grid step, all heads in a static loop (amortizes the
-    bias/mask block residency; traversal over heads uses static indices —
-    Mosaic rejects lane-splitting reshapes and traced dynamic slices)."""
+    """One (window, head-group) per grid step; heads traversed with a
+    static loop (amortizes the mask block residency; Mosaic rejects
+    lane-splitting reshapes and traced dynamic slices)."""
     for h in range(num_heads):
         q = q_ref[0, h].astype(jnp.float32) * scale   # [N, hd]
         k = k_ref[0, h].astype(jnp.float32)
@@ -59,17 +72,18 @@ def _pallas_forward(q, k, v, bias, mask, *, num_heads: int, interpret: bool):
         return x.reshape(bw, n, num_heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split(q), split(k), split(v)
-    spec_tok = pl.BlockSpec((1, num_heads, n, hd), lambda i: (i, 0, 0, 0),
+    hg = _head_group(num_heads, n)
+    spec_tok = pl.BlockSpec((1, hg, n, hd), lambda i, g: (i, g, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_bias = pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+    spec_bias = pl.BlockSpec((hg, n, n), lambda i, g: (g, 0, 0),
                              memory_space=pltpu.VMEM)
-    grid = (bw,)
+    grid = (bw, num_heads // hg)
     if mask is not None:
         nw = mask.shape[0]
-        spec_mask = pl.BlockSpec((1, n, n), lambda i: (i % nw, 0, 0),
+        spec_mask = pl.BlockSpec((1, n, n), lambda i, g: (i % nw, 0, 0),
                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale, num_heads=num_heads),
+            functools.partial(_attn_kernel, scale=scale, num_heads=hg),
             grid=grid,
             in_specs=[spec_tok, spec_tok, spec_tok, spec_bias, spec_mask],
             out_specs=spec_tok,
@@ -79,7 +93,7 @@ def _pallas_forward(q, k, v, bias, mask, *, num_heads: int, interpret: bool):
     else:
         out = pl.pallas_call(
             functools.partial(_attn_kernel_nomask, scale=scale,
-                              num_heads=num_heads),
+                              num_heads=hg),
             grid=grid,
             in_specs=[spec_tok, spec_tok, spec_tok, spec_bias],
             out_specs=spec_tok,
