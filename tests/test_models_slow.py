@@ -49,3 +49,18 @@ def test_swin_unetr_remat_matches():
     s1 = jax.tree_util.tree_structure(v)
     s2 = jax.tree_util.tree_structure(v2)
     assert s1 == s2
+
+
+def test_swin_unetr_2d_forward():
+    """2D spatial_dims path: window ops, masks, and merging all rank-agnostic."""
+    from miseg_tpu.models import SwinUNETR
+    m = SwinUNETR(img_size=(64, 64), in_channels=1, out_channels=3,
+                  feature_size=12, num_heads=(2, 2, 2, 2),
+                  depths=(1, 1, 1, 1),
+                  vit_norm=("instance_cond", {"num_styles": 2}),
+                  encoder_norm=("instance", {}), decoder_norm=("instance", {}))
+    x = jnp.ones((2, 64, 64, 1))
+    mods = jnp.array([0, 1], jnp.int32)
+    v = m.init({"params": jax.random.key(0)}, x, mods)
+    y = m.apply(v, x, mods)
+    assert y.shape == (2, 64, 64, 3)
