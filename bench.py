@@ -4,12 +4,16 @@
 The north-star metric from BASELINE.json: C-Swin-UNETR (feature_size=48,
 instance_cond encoder+vit norms) sliding-window inference over a
 224³ volume with 96³ ROI and 0.5 overlap — counts predictor window
-evaluations per second on one chip.
+evaluations per second on one chip.  Also records the flagship training
+step time so both north-star axes are tracked per round.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (SURVEY §6); `vs_baseline` compares
-against `BENCH_BASELINE.json` if present (a previously recorded run),
-else 1.0.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The reference publishes no numbers (SURVEY §6) and no reference-side GPU
+measurement exists in this environment, so there is NO true baseline
+denominator: `vs_baseline` is null unless `BENCH_BASELINE.json` (a
+previously recorded run of THIS bench) exists, in which case
+`baseline_kind` says "self-previous" — i.e. the ratio means "vs our own
+prior round", never "vs the PyTorch reference".
 """
 
 from __future__ import annotations
@@ -24,12 +28,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    import optax
 
     from miseg_tpu.utils.platform import enable_compile_cache
     enable_compile_cache()
 
     from miseg_tpu.config import Config
     from miseg_tpu.inferers import SlidingWindowInferer, dense_patch_starts, scan_interval
+    from miseg_tpu.losses import loss_from_config
     from miseg_tpu.models import model_from_config
 
     on_tpu = any("tpu" in (getattr(d, "platform", "") or "").lower()
@@ -84,21 +90,58 @@ def main() -> None:
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / reps
     patches_per_sec = n_windows / dt
+    del outs, out
 
+    # ---- flagship training step (second north-star axis) -----------------
+    loss_fn = loss_from_config(Config(criterion="dice_focal", out_channels=out_ch))
+    params_f32 = variables["params"]
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params_f32)
+
+    @jax.jit
+    def train_step(p, o, image, label, modality):
+        def loss_of(pp):
+            pc = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                              if a.dtype == jnp.float32 else a, pp)
+            logits = model.apply({"params": pc}, image.astype(jnp.bfloat16),
+                                 modality, train=True).astype(jnp.float32)
+            return loss_fn(logits, label)
+        loss, grads = jax.value_and_grad(loss_of)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    label = jnp.asarray(rng.integers(0, out_ch, (1, *roi)), jnp.int32)
+    params_f32, opt_state, _ = train_step(params_f32, opt_state, x0, label, mods)
+    jax.block_until_ready(params_f32)
+    steps = 8 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params_f32, opt_state, loss = train_step(params_f32, opt_state, x0,
+                                                 label, mods)
+    jax.block_until_ready(params_f32)
+    train_ms = (time.perf_counter() - t0) / steps * 1e3
+
+    metric = ("sliding_window_96cubed_patches_per_sec_per_chip"
+              if on_tpu else "sliding_window_small_patches_per_sec_cpu")
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
             with open("BENCH_BASELINE.json") as f:
-                baseline = json.load(f).get("value")
+                prev = json.load(f)
+            # a CPU run must not divide by a TPU-recorded value
+            if prev.get("metric", metric) == metric:
+                baseline = prev.get("value")
         except Exception:
             baseline = None
-    vs = patches_per_sec / baseline if baseline else 1.0
     print(json.dumps({
-        "metric": "sliding_window_96cubed_patches_per_sec_per_chip"
-                  if on_tpu else "sliding_window_small_patches_per_sec_cpu",
+        "metric": metric,
         "value": round(patches_per_sec, 3),
         "unit": "patches/s",
-        "vs_baseline": round(vs, 3),
+        # no reference-side measurement exists; any ratio is vs our own
+        # previous run of this bench, not vs the PyTorch reference
+        "vs_baseline": round(patches_per_sec / baseline, 3) if baseline else None,
+        "baseline_kind": "self-previous" if baseline else "none",
+        "train_step_ms": round(train_ms, 1),
     }))
 
 

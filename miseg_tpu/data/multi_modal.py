@@ -35,6 +35,7 @@ def train_transforms(cfg: Config) -> T.Compose:
                    mode=("bilinear", "nearest")),
         T.ScaleIntensityd(keys=["image"]),
         T.SpatialPadd(keys=["image", "label"], spatial_size=roi, value=0),
+        T.FgBgToIndicesd(keys=["label"], image_key="image", image_threshold=0),
         T.RandCropByPosNegLabeld(keys=["image", "label"], label_key="label",
                                  spatial_size=roi, pos=1, neg=1,
                                  num_samples=cfg.patches_training_sample,

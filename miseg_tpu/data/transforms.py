@@ -339,12 +339,48 @@ class SpatialPadd(Transform):
         return arr[sl + (Ellipsis,)]
 
 
+class FgBgToIndicesd(Transform):
+    """Precompute foreground/background flat voxel indices for
+    `RandCropByPosNegLabeld` (MONAI FgBgToIndicesd).
+
+    Deterministic, so `CacheDataset` caches it in the prefix — the
+    per-epoch full-volume argwhere the crop would otherwise redo on every
+    sample draw happens exactly once per cached item.
+    """
+
+    def __init__(self, keys="label", image_key: str | None = None,
+                 image_threshold: float = 0.0, allow_missing_keys=False):
+        super().__init__(keys, allow_missing_keys)
+        self.image_key = image_key
+        self.image_threshold = image_threshold
+
+    def __call__(self, data):
+        data = dict(data)
+        for k in _keys(self, data):
+            label = np.asarray(data[k])
+            lab3 = label[..., 0] if label.ndim == 4 else label
+            fg_mask = lab3 > 0
+            if self.image_key and self.image_key in data:
+                img = np.asarray(data[self.image_key])
+                img3 = img[..., 0] if img.ndim == 4 else img
+                bg_mask = (~fg_mask) & (img3 > self.image_threshold)
+            else:
+                bg_mask = ~fg_mask
+            data[f"{k}_fg_indices"] = np.flatnonzero(fg_mask)
+            data[f"{k}_bg_indices"] = np.flatnonzero(bg_mask)
+        return data
+
+
 class RandCropByPosNegLabeld(Transform):
     """Class-balanced ROI sampling (MONAI RandCropByPosNegLabeld).
 
     Draws `num_samples` crops; each center comes from the label foreground
     with prob pos/(pos+neg), else from background voxels where
     image > image_threshold.  Centers are clamped so crops stay in-bounds.
+
+    When `{label_key}_fg_indices`/`_bg_indices` are present (precomputed by
+    `FgBgToIndicesd` in the deterministic/cached prefix), centers are drawn
+    from those flat indices with no per-draw argwhere.
     """
 
     def __init__(self, keys, label_key: str, spatial_size, pos: float = 1.0,
@@ -359,18 +395,27 @@ class RandCropByPosNegLabeld(Transform):
         self.image_key = image_key
         self.image_threshold = image_threshold
 
-    def __call__(self, data):
-        rng: np.random.Generator = data["_rng"]
+    def _pools(self, data, spatial):
+        fg_flat = data.get(f"{self.label_key}_fg_indices")
+        bg_flat = data.get(f"{self.label_key}_bg_indices")
+        if fg_flat is not None and bg_flat is not None:
+            return np.asarray(fg_flat), np.asarray(bg_flat)
         label = np.asarray(data[self.label_key])
         lab3 = label[..., 0] if label.ndim == 4 else label
-        spatial = lab3.shape
-        fg = np.argwhere(lab3 > 0)
+        fg_mask = lab3 > 0
         if self.image_key and self.image_key in data:
             img = np.asarray(data[self.image_key])
             img3 = img[..., 0] if img.ndim == 4 else img
-            bg = np.argwhere((lab3 <= 0) & (img3 > self.image_threshold))
+            bg_mask = (~fg_mask) & (img3 > self.image_threshold)
         else:
-            bg = np.argwhere(lab3 <= 0)
+            bg_mask = ~fg_mask
+        return np.flatnonzero(fg_mask), np.flatnonzero(bg_mask)
+
+    def __call__(self, data):
+        rng: np.random.Generator = data["_rng"]
+        label = np.asarray(data[self.label_key])
+        spatial = label.shape[:3] if label.ndim == 4 else label.shape
+        fg, bg = self._pools(data, spatial)
 
         out = []
         for _ in range(self.num_samples):
@@ -379,11 +424,15 @@ class RandCropByPosNegLabeld(Transform):
             if len(pool) == 0:
                 center = [s // 2 for s in spatial]
             else:
-                center = pool[rng.integers(len(pool))]
+                center = np.unravel_index(int(pool[rng.integers(len(pool))]),
+                                          spatial)
             starts = [int(np.clip(c - r // 2, 0, max(0, s - r)))
                       for c, r, s in zip(center, self.spatial_size, spatial)]
             sl = tuple(slice(st, st + r) for st, r in zip(starts, self.spatial_size))
             d = dict(data)
+            # index pools describe the full volume — stale after the crop
+            d.pop(f"{self.label_key}_fg_indices", None)
+            d.pop(f"{self.label_key}_bg_indices", None)
             for k in _keys(self, data):
                 d[k] = np.ascontiguousarray(np.asarray(data[k])[sl + (Ellipsis,)])
             out.append(d)

@@ -35,6 +35,9 @@ class UNETR(nn.Module):
     hidden_size: int = 768
     mlp_dim: int = 3072
     num_heads: int = 12
+    # the reference pins this to 12 (unetr.py:90); exposed here because the
+    # skip taps at hidden states 3/6/9 assume num_layers % 4 == 0
+    num_layers: int = 12
     pos_embed: str = "conv"
     conv_block: bool = True
     res_block: bool = True
@@ -58,6 +61,10 @@ class UNETR(nn.Module):
             raise ValueError("Modalities must be passed to the forward step when a "
                              "norm is 'instance_cond'.")
 
+        if self.num_layers % 4:
+            raise ValueError("num_layers must be a multiple of 4 (skip taps at "
+                             "hidden states L/4, L/2, 3L/4 — 3/6/9 for the "
+                             "reference's fixed L=12, unetr.py:90,255-259).")
         nd = len(self.img_size)
         patch_size = (16,) * nd
         feat_size = tuple(s // p for s, p in zip(self.img_size, patch_size))
@@ -68,10 +75,12 @@ class UNETR(nn.Module):
         x, hidden = ViT(
             in_channels=self.in_channels, img_size=self.img_size,
             patch_size=patch_size, hidden_size=self.hidden_size,
-            mlp_dim=self.mlp_dim, num_layers=12, num_heads=self.num_heads,
+            mlp_dim=self.mlp_dim, num_layers=self.num_layers,
+            num_heads=self.num_heads,
             pos_embed=self.pos_embed, classification=False,
             dropout_rate=self.dropout_rate, qkv_bias=self.qkv_bias,
             norm=self.vit_norm, name="vit")(x_in, modalities, train=train)
+        q = self.num_layers // 4
 
         fs = self.feature_size
         # use_checkpoint remats the full-resolution conv blocks (the HBM
@@ -88,17 +97,17 @@ class UNETR(nn.Module):
                               stride=1, upsample_kernel_size=2,
                               norm=self.encoder_norm, conv_block=self.conv_block,
                               res_block=self.res_block, name="encoder2")(
-                                  proj_feat(hidden[3]), modalities, train=train)
+                                  proj_feat(hidden[q]), modalities, train=train)
         enc3 = UnetrPrUpBlock(out_channels=fs * 4, num_layer=1, kernel_size=3,
                               stride=1, upsample_kernel_size=2,
                               norm=self.encoder_norm, conv_block=self.conv_block,
                               res_block=self.res_block, name="encoder3")(
-                                  proj_feat(hidden[6]), modalities, train=train)
+                                  proj_feat(hidden[2 * q]), modalities, train=train)
         enc4 = UnetrPrUpBlock(out_channels=fs * 8, num_layer=0, kernel_size=3,
                               stride=1, upsample_kernel_size=2,
                               norm=self.encoder_norm, conv_block=self.conv_block,
                               res_block=self.res_block, name="encoder4")(
-                                  proj_feat(hidden[9]), modalities, train=train)
+                                  proj_feat(hidden[3 * q]), modalities, train=train)
 
         dec4 = proj_feat(x)
         dec3 = up_cls(out_channels=fs * 8, kernel_size=3,

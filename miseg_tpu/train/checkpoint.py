@@ -79,7 +79,12 @@ def load_any_checkpoint_params(path: str | Path, params: dict) -> dict:
 
 
 class CheckpointManager:
-    """Top-k (by monitored metric) + last checkpoint management."""
+    """Top-k (by monitored metric) + last checkpoint management.
+
+    Top-k state is persisted in a `manager.json` sidecar (and restored on
+    construction) so that best_path and stale-file pruning survive a resume,
+    matching PTL ModelCheckpoint's persisted state (train.py:37-44).
+    """
 
     def __init__(self, directory: str | Path, monitor: str = "val/accuracy/avg",
                  mode: str = "max", save_top_k: int = 3):
@@ -89,6 +94,30 @@ class CheckpointManager:
         self.mode = mode
         self.save_top_k = save_top_k
         self._topk: list[tuple[float, str]] = []
+        self._restore_state()
+
+    @property
+    def _state_path(self) -> Path:
+        return self.dir / "manager.json"
+
+    def _restore_state(self) -> None:
+        if not self._state_path.exists():
+            return
+        try:
+            with open(self._state_path) as f:
+                state = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return
+        # Keep only entries whose checkpoint files still exist on disk.
+        self._topk = [(float(m), p) for m, p in state.get("topk", [])
+                      if os.path.exists(p)]
+
+    def _persist_state(self) -> None:
+        tmp = str(self._state_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"monitor": self.monitor, "mode": self.mode,
+                       "topk": self._topk}, f)
+        os.replace(tmp, self._state_path)
 
     @property
     def best_path(self) -> str | None:
@@ -115,3 +144,4 @@ class CheckpointManager:
         save_checkpoint(self.dir / "last.ckpt", params=params,
                         opt_state=opt_state, epoch=epoch, best_acc=metric,
                         scheduler_state=scheduler_state, extra=extra)
+        self._persist_state()

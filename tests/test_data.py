@@ -165,3 +165,43 @@ def test_public_api_lazy_imports():
     assert miseg_tpu.Config is not None
     assert miseg_tpu.Trainer is not None
     assert miseg_tpu.SlidingWindowInferer is not None
+
+
+def test_fgbg_precomputed_indices_match_inline(synth):
+    """FgBgToIndicesd cached pools must yield the exact same crops as the
+    inline argwhere path (same rng stream -> same centers)."""
+    items = load_decathlon_datalist_with_modality(synth / "CT.json", True,
+                                                  "training", base_dir=synth)
+    base = T.Compose([
+        T.LoadImaged(["image", "label"]),
+        T.EnsureChannelLastd(["image", "label"]),
+        T.ScaleIntensityd(["image"]),
+    ])
+    d0 = base({"image": items[0]["image"], "label": items[0]["label"]})
+    crop = T.RandCropByPosNegLabeld(["image", "label"], label_key="label",
+                                    spatial_size=(16, 16, 16), pos=1, neg=1,
+                                    num_samples=6, image_key="image",
+                                    image_threshold=0)
+    out_inline = crop({**d0, "_rng": np.random.default_rng(7)})
+    d1 = T.FgBgToIndicesd(["label"], image_key="image", image_threshold=0)(d0)
+    assert "label_fg_indices" in d1 and "label_bg_indices" in d1
+    out_cached = crop({**d1, "_rng": np.random.default_rng(7)})
+    for a, b in zip(out_inline, out_cached):
+        assert np.array_equal(a["image"], b["image"])
+        assert np.array_equal(a["label"], b["label"])
+        # stale full-volume pools must not leak into the crops
+        assert "label_fg_indices" not in b
+
+
+def test_train_chain_caches_fgbg_in_prefix(synth):
+    """The fg/bg precompute is deterministic, so CacheDataset puts it in the
+    cached prefix — no per-epoch argwhere."""
+    cfg = Config(roi_x=24, roi_y=24, roi_z=24, patches_training_sample=2)
+    tr = train_transforms(cfg)
+    items = load_decathlon_datalist_with_modality(synth / "CT.json", True,
+                                                  "training", base_dir=synth)
+    ds = CacheDataset(items[:1], tr, cache_num=1, num_workers=1)
+    cached = ds._cache[0]
+    assert "label_fg_indices" in cached
+    out = ds.get(0, np.random.default_rng(3))
+    assert len(out) == 2 and out[0]["image"].shape == (24, 24, 24, 1)

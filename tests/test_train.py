@@ -254,3 +254,23 @@ def test_fit_resume_from_checkpoint(tmp_path):
     state = t2.fit(MultiModalData(cfg2))
     # resumed at epoch 2 → exactly 2 more epochs × 1 batch each
     assert int(state.step) == 2
+
+
+def test_checkpoint_manager_topk_survives_resume(tmp_path, rng):
+    from miseg_tpu.train.checkpoint import CheckpointManager
+    params = {"w": rng.random((4, 4)).astype("float32")}
+    m1 = CheckpointManager(tmp_path, save_top_k=2)
+    for epoch, acc in [(0, 0.3), (1, 0.7), (2, 0.5)]:
+        m1.save(acc, params=params, epoch=epoch)
+    best_before = m1.best_path
+    assert "0.7000" in best_before
+    # fresh manager (simulated restart) restores the top-k record
+    m2 = CheckpointManager(tmp_path, save_top_k=2)
+    assert m2.best_path == best_before
+    # pruning still works after the restart: a new better ckpt evicts 0.5
+    m2.save(0.9, params=params, epoch=3)
+    import os
+    names = sorted(os.listdir(tmp_path))
+    assert not any("0.5000" in n for n in names)
+    assert any("0.9000" in n for n in names)
+    assert "0.9000" in m2.best_path
