@@ -86,7 +86,11 @@ def compute_mask(dims: tuple, window_size: tuple, shift_size: tuple) -> np.ndarr
     cnt = 0
 
     def _segments(dim, ws, ss):
-        if ss == 0 or ws >= dim:
+        # ss == 0 → the reference's 3-slice loop degenerates to one region
+        # (the final full-axis overwrite); ws >= dim keeps the reference's
+        # exact segmenting (swin_utils.py:124-127) even though the model
+        # never hits it (get_window_size zeroes the shift first).
+        if ss == 0:
             return [slice(None)]
         return [slice(0, -ws), slice(-ws, -ss), slice(-ss, None)]
 
@@ -113,7 +117,7 @@ def compute_mask(dims: tuple, window_size: tuple, shift_size: tuple) -> np.ndarr
 
 def _region_ids_1d(dim: int, ws: int, ss: int) -> jax.Array:
     """Per-position region id along one axis (0/1/2 segments)."""
-    if ss == 0 or ws >= dim:
+    if ss == 0:
         return jnp.zeros((dim,), jnp.int32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (dim, 1), 0)[:, 0]
     return ((pos >= dim - ws).astype(jnp.int32)
