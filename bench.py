@@ -74,23 +74,34 @@ def main() -> None:
 
     n_windows = len(dense_patch_starts(vol, roi, scan_interval(roi, cfg.infer_overlap)))
 
+    # On the tunneled backend jax.block_until_ready returns BEFORE device
+    # execution finishes (verified: 10 multi-TFLOP programs "block" in <1ms,
+    # then a host fetch takes seconds).  The only trustworthy sync is
+    # fetching data that depends on the enqueued work, so every measurement
+    # here ends with a host fetch of a jitted scalar reduction.
+    fetch = jax.jit(lambda o: o.ravel()[0])
+
+    def run_volumes(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = inferer(volume, modality)
+        np.asarray(fetch(out))  # pipeline drain (programs run in order)
+        return time.perf_counter() - t0
+
     # warmup (compile)
     t_c = time.perf_counter()
-    out = inferer(volume, modality)
-    jax.block_until_ready(out)
+    run_volumes(1)
     print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s "
           f"({n_windows} windows)", file=sys.stderr)
-    # enqueue several volumes back-to-back and block once: amortizes the
-    # per-call dispatch latency (large on tunneled/remote TPU backends)
+    # two batch sizes; the slope cancels constant dispatch/fetch round trips
     reps = 8 if on_tpu else 1
-    outs = []
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        outs.append(inferer(volume, modality))
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
+    if on_tpu:
+        t1, t2 = run_volumes(2), run_volumes(2 + reps)
+        dt = (t2 - t1) / reps
+    else:
+        dt = run_volumes(reps) / reps
     patches_per_sec = n_windows / dt
-    del outs, out
 
     # ---- flagship training step (second north-star axis) -----------------
     loss_fn = loss_from_config(Config(criterion="dice_focal", out_channels=out_ch))
@@ -111,15 +122,24 @@ def main() -> None:
         return optax.apply_updates(p, updates), o, loss
 
     label = jnp.asarray(rng.integers(0, out_ch, (1, *roi)), jnp.int32)
-    params_f32, opt_state, _ = train_step(params_f32, opt_state, x0, label, mods)
-    jax.block_until_ready(params_f32)
+
+    def run_steps(n):
+        nonlocal params_f32, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            params_f32, opt_state, loss = train_step(params_f32, opt_state,
+                                                     x0, label, mods)
+        np.asarray(loss)  # true sync (see note above)
+        return time.perf_counter() - t0
+
+    run_steps(1)  # compile
     steps = 8 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params_f32, opt_state, loss = train_step(params_f32, opt_state, x0,
-                                                 label, mods)
-    jax.block_until_ready(params_f32)
-    train_ms = (time.perf_counter() - t0) / steps * 1e3
+    if on_tpu:
+        t1, t2 = run_steps(2), run_steps(2 + steps)
+        train_ms = (t2 - t1) / steps * 1e3
+    else:
+        train_ms = run_steps(steps) / steps * 1e3
 
     metric = ("sliding_window_96cubed_patches_per_sec_per_chip"
               if on_tpu else "sliding_window_small_patches_per_sec_cpu")

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..nn.swin import PatchEmbed, PatchMergingV2, SwinTransformerBlock
 from ..ops.norms import instance_norm, layer_norm
-from ..ops.window import compute_mask_jnp, get_window_size
+from ..ops.window import get_window_size, window_region_ids
 
 NormSpec = tuple[str, dict[str, Any]] | str
 
@@ -59,7 +59,9 @@ class BasicLayer(nn.Module):
             spatial, tuple(self.window_size),
             tuple(w // 2 for w in self.window_size))
         padded = tuple(int(math.ceil(s / w)) * w for s, w in zip(spatial, window_size))
-        attn_mask = compute_mask_jnp(padded, tuple(window_size), tuple(shift_size))
+        # region ids, not the additive [nW, N, N] mask — consumers fuse the
+        # pairwise comparison (ops/window.py:window_region_ids)
+        attn_mask = window_region_ids(padded, tuple(window_size), tuple(shift_size))
         no_shift = (0,) * len(window_size)
 
         block_cls = SwinTransformerBlock

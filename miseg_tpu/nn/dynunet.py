@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .convolutions import Convolution, get_output_padding, get_padding
-from .factories import get_act
+from .factories import get_act, leaky_slope
 from .norms import make_norm
 
 NormSpec = tuple[str, dict[str, Any]] | str
@@ -47,24 +47,33 @@ class UnetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, modalities=None, *, train: bool = False):
-        act = get_act(self.act)
+        # leaky-relu tails fuse into the norm kernels (norm1+act;
+        # norm2+residual-add+act — one HBM pass each on the Pallas path)
+        slope = leaky_slope(self.act)
+        act = get_act(self.act) if slope is None else None
         in_channels = x.shape[-1]
         s = self.stride if isinstance(self.stride, (list, tuple)) else (self.stride,) * (x.ndim - 2)
         downsample = in_channels != self.out_channels or any(si != 1 for si in s)
 
         out = _conv(self.out_channels, self.kernel_size, self.stride, name="conv1")(x)
-        out = make_norm(self.norm, self.out_channels, name="norm1")(out, modalities, train=train)
-        out = act(out)
+        out = make_norm(self.norm, self.out_channels, name="norm1")(
+            out, modalities, train=train, act_slope=slope)
+        if act is not None:
+            out = act(out)
         if self.dropout:
             out = nn.Dropout(rate=float(self.dropout))(out, deterministic=not train)
         out = _conv(self.out_channels, self.kernel_size, 1, name="conv2")(out)
-        out = make_norm(self.norm, self.out_channels, name="norm2")(out, modalities, train=train)
 
         residual = x
         if downsample:
             residual = _conv(self.out_channels, 1, self.stride, name="conv3")(residual)
             residual = make_norm(self.norm, self.out_channels, name="norm3")(
                 residual, modalities, train=train)
+        if act is None:
+            return make_norm(self.norm, self.out_channels, name="norm2")(
+                out, modalities, train=train, act_slope=slope, add=residual)
+        out = make_norm(self.norm, self.out_channels, name="norm2")(
+            out, modalities, train=train)
         return act(out + residual)
 
 
@@ -78,15 +87,19 @@ class UnetBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, modalities=None, *, train: bool = False):
-        act = get_act(self.act)
+        slope = leaky_slope(self.act)
+        act = get_act(self.act) if slope is None else None
         out = _conv(self.out_channels, self.kernel_size, self.stride, name="conv1")(x)
-        out = make_norm(self.norm, self.out_channels, name="norm1")(out, modalities, train=train)
-        out = act(out)
+        out = make_norm(self.norm, self.out_channels, name="norm1")(
+            out, modalities, train=train, act_slope=slope)
+        if act is not None:
+            out = act(out)
         if self.dropout:
             out = nn.Dropout(rate=float(self.dropout))(out, deterministic=not train)
         out = _conv(self.out_channels, self.kernel_size, 1, name="conv2")(out)
-        out = make_norm(self.norm, self.out_channels, name="norm2")(out, modalities, train=train)
-        return act(out)
+        out = make_norm(self.norm, self.out_channels, name="norm2")(
+            out, modalities, train=train, act_slope=slope)
+        return act(out) if act is not None else out
 
 
 class UnetUpBlock(nn.Module):

@@ -66,6 +66,17 @@ def get_act(spec: str | tuple[str, dict[str, Any]] | None, module_name: str | No
         raise ValueError(f"unknown activation: {name!r}") from None
 
 
+def leaky_slope(spec: str | tuple[str, dict[str, Any]] | None) -> float | None:
+    """negative_slope if `spec` is a leaky-relu, else None — used to fuse
+    the activation into the preceding norm kernel."""
+    if spec is None:
+        return None
+    name, kwargs = (spec, {}) if isinstance(spec, str) else spec
+    if name.lower() != "leakyrelu":
+        return None
+    return float(kwargs.get("negative_slope", 0.01))
+
+
 def get_norm_spec(norm_name: str | None, **kwargs) -> tuple[str, dict[str, Any]] | None:
     """CLI norm name → (kind, kwargs) spec; `instance_nvfuser` ⇒ `instance`."""
     if norm_name is None:

@@ -36,11 +36,23 @@ class Norm(nn.Module):
     momentum: float = 0.9  # batch-norm running-stat decay
 
     @nn.compact
-    def __call__(self, x, modalities=None, *, train: bool = False):
+    def __call__(self, x, modalities=None, *, train: bool = False,
+                 act_slope: float | None = None, add=None):
+        """`act_slope`/`add` fuse a trailing `y (+ add) -> leaky_relu` into
+        the norm (instance/instance_cond only — the dynunet block tails,
+        dynunet_block.py:104-125); other kinds reject them."""
         c = self.features
         if x.shape[-1] != c:
             raise ValueError(f"Norm expected {c} channels, got {x.shape[-1]}")
         kind = self.kind
+
+        def _tail(y):
+            if add is not None:
+                y = y + add
+            if act_slope is not None:
+                y = jnp.where(y >= 0, y, jnp.asarray(act_slope, y.dtype) * y)
+            return y
+
         if kind == "instance_cond":
             if modalities is None:
                 raise ValueError("instance_cond norm requires a `modalities` vector")
@@ -48,20 +60,30 @@ class Norm(nn.Module):
             beta = self.param("bias", nn.initializers.zeros, (self.num_styles, c))
             from ..ops.dispatch import use_pallas_norm
             if use_pallas_norm() and x.ndim >= 3:
-                from ..ops.pallas import fused_conditional_instance_norm
-                return fused_conditional_instance_norm(x, modalities, gamma,
-                                                       beta, eps=self.eps)
-            return N.conditional_instance_norm(x, modalities, gamma, beta, eps=self.eps)
+                from ..ops.pallas import fused_norm
+                if fused_norm.supported(x.shape):
+                    return fused_norm.fused_instance_norm_act(
+                        x, gamma, beta, modalities, eps=self.eps,
+                        negative_slope=act_slope, add=add)
+            return _tail(N.conditional_instance_norm(x, modalities, gamma,
+                                                     beta, eps=self.eps))
         gamma = beta = None
         if self.affine:
             gamma = self.param("scale", nn.initializers.ones, (c,))
             beta = self.param("bias", nn.initializers.zeros, (c,))
         if kind == "instance":
-            return N.instance_norm(x, gamma, beta, eps=self.eps)
+            from ..ops.dispatch import use_pallas_norm
+            if use_pallas_norm() and x.ndim >= 3:
+                from ..ops.pallas import fused_norm
+                if fused_norm.supported(x.shape):
+                    return fused_norm.fused_instance_norm_act(
+                        x, gamma, beta, eps=self.eps,
+                        negative_slope=act_slope, add=add)
+            return _tail(N.instance_norm(x, gamma, beta, eps=self.eps))
         if kind == "layer":
-            return N.layer_norm(x, gamma, beta, eps=self.eps)
+            return _tail(N.layer_norm(x, gamma, beta, eps=self.eps))
         if kind == "group":
-            return N.group_norm(x, self.num_groups, gamma, beta, eps=self.eps)
+            return _tail(N.group_norm(x, self.num_groups, gamma, beta, eps=self.eps))
         if kind == "batch":
             ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
             ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
@@ -73,7 +95,7 @@ class Norm(nn.Module):
                     ra_var.value = m * ra_var.value + (1 - m) * var
             else:
                 mean, var = ra_mean.value, ra_var.value
-            return N.batch_norm_inference(x, mean, var, gamma, beta, eps=self.eps)
+            return _tail(N.batch_norm_inference(x, mean, var, gamma, beta, eps=self.eps))
         raise ValueError(f"unknown norm kind: {kind!r}")
 
 

@@ -95,15 +95,18 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[jnp.asarray(index)].reshape(n, n, -1)
         rel_bias = rel_bias.transpose(2, 0, 1)  # [H, N, N]
 
+        # `mask` is region ids `i32 [nW, N]` (window_region_ids) or a legacy
+        # additive `[nW, N, N]` tensor; ids keep the shifted-window mask out
+        # of HBM (stage 1's additive form is 343^3 f32 ≈ 161MB).
         from ..ops.dispatch import use_pallas_attn
-        fuse = use_pallas_attn() and not (train and self.attn_drop > 0)
+        fuse = use_pallas_attn() and not (train and self.attn_drop > 0) \
+            and (mask is None or mask.ndim == 2)
         if fuse:
             from ..ops.pallas import fused_window_attention
             qkv = qkv.reshape(b, n, 3, c)
             out = fused_window_attention(
                 qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-                rel_bias.astype(jnp.float32),
-                mask.astype(jnp.float32) if mask is not None else None,
+                rel_bias.astype(jnp.float32), mask,
                 num_heads=self.num_heads)
         else:
             qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
@@ -114,7 +117,16 @@ class WindowAttention(nn.Module):
             if mask is not None:
                 nw = mask.shape[0]
                 attn = attn.reshape(b // nw, nw, self.num_heads, n, n)
-                attn = attn + mask[None, :, None].astype(attn.dtype)
+                if mask.ndim == 2:
+                    # XLA fuses the broadcast compare into the softmax
+                    # fusion — the [nW, N, N] tensor never hits HBM
+                    from ..ops.window import ATTN_MASK_VALUE
+                    neq = mask[:, None, :] != mask[:, :, None]
+                    attn = jnp.where(neq[None, :, None],
+                                     attn + jnp.asarray(ATTN_MASK_VALUE,
+                                                        attn.dtype), attn)
+                else:
+                    attn = attn + mask[None, :, None].astype(attn.dtype)
                 attn = attn.reshape(b, self.num_heads, n, n)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)

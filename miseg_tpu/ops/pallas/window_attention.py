@@ -2,10 +2,22 @@
 
 The C-Swin-UNETR per-step hot path is windowed MHSA over 343-token (7³)
 windows (SURVEY §3.4: O(nWin·343²·C)).  A naive XLA lowering materializes
-the `[B·nW, heads, N, N]` attention tensor in HBM (hundreds of MB at
-stage 1).  This kernel computes QKᵀ·scale + rel-pos-bias (+ shifted-window
-mask) → softmax → ·V for ONE window per grid step entirely in VMEM — the
-attention matrix never touches HBM.
+the `[B·nW, heads, N, N]` attention tensor in HBM (~484MB f32 at stage 1)
+plus, when shifted, a `[nW, N, N]` additive mask (~161MB).  This kernel
+computes QKᵀ·scale + rel-pos-bias (+ shifted-window mask) → softmax → ·V
+for a GROUP of windows per grid step entirely in VMEM — neither the
+attention matrix nor the mask ever touches HBM.
+
+TPU-first layout choices (v2, after profiling v1):
+  * q/k/v/out live as `[BW, H, hd, N]` with the 343-token axis MINOR —
+    N pads to a 128-lane multiple (343→384, 12%) instead of the head dim
+    (16→128, 8x) that a `[.., N, hd]` layout would pad;
+  * dots run in bf16 with f32 accumulation (`preferred_element_type`) —
+    the MXU fast path — rather than casting operands to f32;
+  * the shifted-window mask is passed as REGION IDS `i32 [nW, N]` and the
+    pairwise {0, -100} comparison happens in VMEM per step;
+  * several windows are processed per grid step (`W | nW`), heads iterate
+    in the inner grid dimension so window-group blocks are fetched once.
 
 Forward is Pallas; backward is a custom VJP that recomputes the attention
 weights with jnp einsums (flash-style recompute — HBM-cheap, and XLA
@@ -22,88 +34,95 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..window import ATTN_MASK_VALUE
+
 Array = jax.Array
 
 
-def _head_group(num_heads: int, n: int) -> int:
-    """Heads per grid step: the largest divisor of num_heads whose
-    per-step score temporaries (~3 × HG × N² f32) stay well under the
-    16MB scoped-vmem stack (12 heads × 343² overflows)."""
-    budget = 6 * 1024 * 1024
-    max_hg = max(1, budget // max(1, 3 * n * n * 4))
-    hg = 1
-    for cand in range(1, num_heads + 1):
-        if num_heads % cand == 0 and cand <= max_hg:
-            hg = cand
-    return hg
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                 scale: float, num_heads: int):
-    """One (window, head-group) per grid step; heads traversed with a
-    static loop (amortizes the mask block residency; Mosaic rejects
-    lane-splitting reshapes and traced dynamic slices)."""
-    for h in range(num_heads):
-        q = q_ref[0, h].astype(jnp.float32) * scale   # [N, hd]
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [N, N]
-        s = s + bias_ref[h]
-        if mask_ref is not None:
-            s = s + mask_ref[0]
-        p = jax.nn.softmax(s, axis=-1)
-        o_ref[0, h] = jnp.dot(p, v, preferred_element_type=jnp.float32) \
-            .astype(o_ref.dtype)
+def _pick_windows(base: int, n: int, budget: int = 48 * 1024 * 1024) -> int:
+    """Windows per grid step: the largest divisor of `base` whose score
+    temporaries (~4 × W × N² f32) fit the raised VMEM limit."""
+    n2 = -(-n // 8) * 8 * _pad128(n)
+    cap = max(1, budget // (16 * n2))
+    best = 1
+    for w in range(1, base + 1):
+        if base % w == 0 and w <= cap:
+            best = w
+    return best
 
 
-def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                        num_heads: int):
-    _attn_kernel(q_ref, k_ref, v_ref, bias_ref, None, o_ref, scale=scale,
-                 num_heads=num_heads)
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, ids_ref, o_ref, *,
+                 scale: float):
+    """One (window-group, head) per grid step; blocks are `[W, 1, hd, N]`
+    (token axis minor → lane-dense)."""
+    q = q_ref[:, 0]                                   # [W, hd, N] bf16
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # [W, N, N]
+    s = s * scale + bias_ref[0][None]
+    if ids_ref is not None:
+        ids = ids_ref[...]                            # [W, N] i32
+        s = jnp.where(ids[:, None, :] != ids[:, :, None],
+                      jnp.float32(ATTN_MASK_VALUE) + s, s)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o_ref[:, 0] = jax.lax.dot_general(
+        v, p, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _pallas_forward(q, k, v, bias, mask, *, num_heads: int, interpret: bool):
+def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    _attn_kernel(q_ref, k_ref, v_ref, bias_ref, None, o_ref, scale=scale)
+
+
+def _pallas_forward(q, k, v, bias, ids, *, num_heads: int, interpret: bool):
     bw, n, c = q.shape
     hd = c // num_heads
     scale = hd ** -0.5
 
-    def split(x):  # [BW, N, C] → [BW, H, N, hd]
-        return x.reshape(bw, n, num_heads, hd).transpose(0, 2, 1, 3)
+    def split(x):  # [BW, N, C] → [BW, H, hd, N] (token axis minor)
+        return x.reshape(bw, n, num_heads, hd).transpose(0, 2, 3, 1)
 
     qh, kh, vh = split(q), split(k), split(v)
-    hg = _head_group(num_heads, n)
-    spec_tok = pl.BlockSpec((1, hg, n, hd), lambda i, g: (i, g, 0, 0),
+    nw = ids.shape[0] if ids is not None else bw
+    w = _pick_windows(nw, n)
+    grid = (bw // w, num_heads)
+    spec_tok = pl.BlockSpec((w, 1, hd, n), lambda i, h: (i, h, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_bias = pl.BlockSpec((hg, n, n), lambda i, g: (g, 0, 0),
+    spec_bias = pl.BlockSpec((1, n, n), lambda i, h: (h, 0, 0),
                              memory_space=pltpu.VMEM)
-    grid = (bw, num_heads // hg)
-    if mask is not None:
-        nw = mask.shape[0]
-        spec_mask = pl.BlockSpec((1, n, n), lambda i, g: (i % nw, 0, 0),
-                                 memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    if ids is not None:
+        nww = nw // w
+        spec_ids = pl.BlockSpec((w, n), lambda i, h: (i % nww, 0),
+                                memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale, num_heads=hg),
+            functools.partial(_attn_kernel, scale=scale),
             grid=grid,
-            in_specs=[spec_tok, spec_tok, spec_tok, spec_bias, spec_mask],
+            in_specs=[spec_tok, spec_tok, spec_tok, spec_bias, spec_ids],
             out_specs=spec_tok,
             out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+            compiler_params=params,
             interpret=interpret,
-        )(qh, kh, vh, bias, mask)
+        )(qh, kh, vh, bias, ids)
     else:
         out = pl.pallas_call(
-            functools.partial(_attn_kernel_nomask, scale=scale,
-                              num_heads=hg),
+            functools.partial(_attn_kernel_nomask, scale=scale),
             grid=grid,
             in_specs=[spec_tok, spec_tok, spec_tok, spec_bias],
             out_specs=spec_tok,
             out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+            compiler_params=params,
             interpret=interpret,
         )(qh, kh, vh, bias)
-    return out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    return out.transpose(0, 3, 1, 2).reshape(bw, n, c)
 
 
-def _reference_weights(q, k, bias, mask, num_heads):
+def _reference_weights(q, k, bias, ids, num_heads):
     """jnp attention weights (used by the backward recompute)."""
     bw, n, c = q.shape
     hd = c // num_heads
@@ -111,31 +130,32 @@ def _reference_weights(q, k, bias, mask, num_heads):
     kh = k.reshape(bw, n, num_heads, hd).astype(jnp.float32)
     s = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
     s = s + bias[None].astype(jnp.float32)
-    if mask is not None:
-        nw = mask.shape[0]
-        s = s.reshape(bw // nw, nw, num_heads, n, n) \
-            + mask[None, :, None].astype(jnp.float32)
+    if ids is not None:
+        nw = ids.shape[0]
+        neq = ids[:, None, :] != ids[:, :, None]        # [nW, N, N]
+        s = s.reshape(bw // nw, nw, num_heads, n, n)
+        s = jnp.where(neq[None, :, None], s + jnp.float32(ATTN_MASK_VALUE), s)
         s = s.reshape(bw, num_heads, n, n)
     return jax.nn.softmax(s, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fwa(q, k, v, bias, mask, num_heads, interpret):
-    return _pallas_forward(q, k, v, bias, mask, num_heads=num_heads,
+def _fwa(q, k, v, bias, ids, num_heads, interpret):
+    return _pallas_forward(q, k, v, bias, ids, num_heads=num_heads,
                            interpret=interpret)
 
 
-def _fwa_fwd(q, k, v, bias, mask, num_heads, interpret):
-    out = _pallas_forward(q, k, v, bias, mask, num_heads=num_heads,
+def _fwa_fwd(q, k, v, bias, ids, num_heads, interpret):
+    out = _pallas_forward(q, k, v, bias, ids, num_heads=num_heads,
                           interpret=interpret)
-    return out, (q, k, v, bias, mask)
+    return out, (q, k, v, bias, ids)
 
 
 def _fwa_bwd(num_heads, interpret, res, do):
-    q, k, v, bias, mask = res
+    q, k, v, bias, ids = res
     bw, n, c = q.shape
     hd = c // num_heads
-    p = _reference_weights(q, k, bias, mask, num_heads)      # [BW, H, N, N]
+    p = _reference_weights(q, k, bias, ids, num_heads)       # [BW, H, N, N]
     vh = v.reshape(bw, n, num_heads, hd).astype(jnp.float32)
     doh = do.reshape(bw, n, num_heads, hd).astype(jnp.float32)
     dp = jnp.einsum("bnhd,bmhd->bhnm", doh, vh)
@@ -147,13 +167,8 @@ def _fwa_bwd(num_heads, interpret, res, do):
     dq = jnp.einsum("bhnm,bmhd->bnhd", ds, kh).reshape(bw, n, c) * scale
     dk = jnp.einsum("bhnm,bnhd->bmhd", ds, qh).reshape(bw, n, c) * scale
     dbias = jnp.sum(ds, axis=0)                               # [H, N, N]
-    dmask = None
-    if mask is not None:
-        nw = mask.shape[0]
-        dmask = jnp.sum(ds.reshape(bw // nw, nw, num_heads, n, n),
-                        axis=(0, 2)).astype(mask.dtype)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias.astype(bias.dtype), dmask)
+            dbias.astype(bias.dtype), None)
 
 
 _fwa.defvjp(_fwa_fwd, _fwa_bwd)
@@ -165,9 +180,15 @@ def fused_window_attention(q: Array, k: Array, v: Array, bias: Array,
     """Fused windowed MHSA.
 
     q/k/v: `[B·nW, N, C]`; bias: `[H, N, N]` rel-pos bias; mask: optional
-    `[nW, N, N]` shifted-window mask (broadcast over batch as in
-    window_attention.py:110-114).  Returns `[B·nW, N, C]`.
+    shifted-window mask as REGION IDS `i32 [nW, N]` (two tokens attend iff
+    their ids match — window_attention.py:110-114 semantics) or as a
+    legacy additive `[nW, N, N]` tensor (converted to ids via uniqueness
+    of rows... not supported: pass ids).  Returns `[B·nW, N, C]`.
     """
+    if mask is not None and mask.ndim != 2:
+        raise ValueError("fused_window_attention expects region ids [nW, N] "
+                         "(see ops.window.window_region_ids), "
+                         f"got mask shape {mask.shape}")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     return _fwa(q, k, v, bias, mask, num_heads, interpret)

@@ -124,13 +124,14 @@ def _region_ids_1d(dim: int, ws: int, ss: int) -> jax.Array:
             + (pos >= dim - ss).astype(jnp.int32))
 
 
-def compute_mask_jnp(dims, window_size, shift_size) -> jax.Array | None:
-    """On-device shifted-window mask `[nW, N, N]` (≡ `compute_mask`).
+def window_region_ids(dims, window_size, shift_size) -> jax.Array | None:
+    """Per-window region ids `i32 [nW, N]` for the shifted-window mask.
 
-    Built from iota comparisons instead of a host numpy table so the big
-    stage-1 mask (e.g. 343×343×343 f32 ≈ 161MB) is computed at runtime
-    rather than embedded as an HLO constant — large baked constants made
-    full-model compiles pathologically slow on the remote-compile path.
+    The additive `[nW, N, N]` mask is `-100` wherever two tokens' region
+    ids differ — at stage 1 of the flagship that tensor is 343³ f32
+    (~161MB), so downstream consumers keep only the ids (470KB) and fuse
+    the pairwise comparison into the attention computation (XLA fuses the
+    broadcast compare; the Pallas kernel compares in VMEM).
     """
     if not any(shift_size):
         return None
@@ -143,6 +144,23 @@ def compute_mask_jnp(dims, window_size, shift_size) -> jax.Array | None:
         shape[i] = -1
         region = region * 3 + a.reshape(shape)
     region = region[None, ..., None].astype(jnp.float32)  # [1, *dims, 1]
-    win = window_partition(region, window_size)[..., 0]   # [nW, N]
-    diff = win[:, None, :] - win[:, :, None]
-    return jnp.where(diff != 0, ATTN_MASK_VALUE, 0.0).astype(jnp.float32)
+    return window_partition(region, window_size)[..., 0].astype(jnp.int32)
+
+
+def mask_from_region_ids(ids: jax.Array) -> jax.Array:
+    """`[nW, N]` region ids → additive `[nW, N, N]` {0, -100} mask."""
+    neq = ids[:, None, :] != ids[:, :, None]
+    return jnp.where(neq, ATTN_MASK_VALUE, 0.0).astype(jnp.float32)
+
+
+def compute_mask_jnp(dims, window_size, shift_size) -> jax.Array | None:
+    """On-device shifted-window mask `[nW, N, N]` (≡ `compute_mask`).
+
+    Built from iota comparisons instead of a host numpy table so the big
+    stage-1 mask is computed at runtime rather than embedded as an HLO
+    constant — large baked constants made full-model compiles
+    pathologically slow on the remote-compile path.  Prefer
+    `window_region_ids` where the consumer can fuse the comparison.
+    """
+    ids = window_region_ids(dims, window_size, shift_size)
+    return None if ids is None else mask_from_region_ids(ids)

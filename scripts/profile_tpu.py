@@ -171,21 +171,36 @@ def main() -> None:
                                        out_channels=cfg.out_channels)
         run = lambda: inferer(vol, jnp.zeros((1,), jnp.int32))
 
+    # block_until_ready does NOT wait for execution on the tunneled
+    # backend; the only true sync is a host fetch of dependent data.
+    fetch = jax.jit(lambda o: jax.tree.leaves(o)[0].ravel()[0])
+
+    def sync(out):
+        np.asarray(fetch(out))
+
     # compile + warm
     t0 = time.perf_counter()
-    out = run()
-    jax.block_until_ready(out)
+    sync(run())
     print(f"# compile+warm {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(args.reps)]
-    jax.block_until_ready(outs)
-    wall = (time.perf_counter() - t0) / args.reps
+
+    def run_n(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = run()
+        sync(out)
+        return time.perf_counter() - t0
+
+    t1, t2 = run_n(args.reps), run_n(3 * args.reps)
+    wall = (t2 - t1) / (2 * args.reps)  # slope cancels round-trip constants
     print(f"# steady-state {wall * 1e3:.1f} ms/call", file=sys.stderr)
 
     logdir = args.logdir or tempfile.mkdtemp(prefix="miseg_prof_")
     with jax.profiler.trace(logdir):
-        outs = [run() for _ in range(args.reps)]
-        jax.block_until_ready(outs)
+        out = None
+        for _ in range(args.reps):
+            out = run()
+        sync(out)
     print(f"# trace at {logdir}", file=sys.stderr)
     rows = parse_trace(logdir, args.top)
     total = sum(t for _, t, _ in rows)

@@ -54,7 +54,8 @@ def test_fused_cin_gradients(cin_case):
             (np.abs(np.asarray(a) - np.asarray(b_)).max())
 
 
-def _jnp_window_attention(q, k, v, bias, mask, num_heads):
+def _jnp_window_attention(q, k, v, bias, ids, num_heads):
+    from miseg_tpu.ops.window import mask_from_region_ids
     b, n, c = q.shape
     hd = c // num_heads
     qh = q.reshape(b, n, num_heads, hd)
@@ -62,7 +63,8 @@ def _jnp_window_attention(q, k, v, bias, mask, num_heads):
     vh = v.reshape(b, n, num_heads, hd)
     attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd ** -0.5)
     attn = attn + bias[None]
-    if mask is not None:
+    if ids is not None:
+        mask = mask_from_region_ids(ids)
         nw = mask.shape[0]
         attn = attn.reshape(b // nw, nw, num_heads, n, n) + mask[None, :, None]
         attn = attn.reshape(b, num_heads, n, n)
@@ -76,9 +78,9 @@ def attn_case(rng):
     mk = lambda: jnp.asarray(rng.standard_normal((bw, n, c)).astype(np.float32))
     q, k, v = mk(), mk(), mk()
     bias = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
-    mask = jnp.asarray(np.where(rng.random((2, n, n)) > 0.8, -100.0, 0.0)
-                       .astype(np.float32))
-    return q, k, v, bias, mask, h
+    # shifted-window mask as region ids [nW, N] (two tokens attend iff equal)
+    ids = jnp.asarray(rng.integers(0, 3, (2, n)), jnp.int32)
+    return q, k, v, bias, ids, h
 
 
 def test_fused_attention_matches_reference(attn_case):
@@ -112,3 +114,84 @@ def test_fused_attention_gradients(attn_case):
     gr = jax.grad(ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b_ in zip(gf, gr):
         assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+# ---- fused_instance_norm_act (merged lane-dense view) ----------------------
+
+from miseg_tpu.ops.norms import instance_norm
+from miseg_tpu.ops.pallas import fused_instance_norm_act
+from miseg_tpu.ops.pallas.fused_norm import merge_view, supported
+
+
+def test_merge_view():
+    assert merge_view((1, 96, 96, 96, 48)) == (96 * 96, 96 * 48)
+    assert merge_view((2, 8, 8, 8, 16)) == (64, 128)
+    assert merge_view((1, 6, 6, 6, 768)) == (216, 768)
+    assert merge_view((1, 7, 7, 7, 5)) is None  # 5*7*7*7 not %128
+    assert supported((1, 96, 96, 96, 48))
+    assert not supported((1, 7, 7, 7, 5))
+
+
+def test_fused_norm_act_plain(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 16)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((16,)) + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    want = instance_norm(x, g, b)
+    got = fused_instance_norm_act(x, g, b, interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # parameter-free (the swin proj_out path)
+    want = instance_norm(x)
+    got = fused_instance_norm_act(x, interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_norm_act_conditional_with_tail(cin_case):
+    x, styles, gamma, beta = cin_case
+    add = jnp.asarray(np.random.default_rng(7).standard_normal(x.shape),
+                      jnp.float32)
+    want = jax.nn.leaky_relu(
+        conditional_instance_norm(x, styles, gamma, beta) + add, 0.01)
+    got = fused_instance_norm_act(x, gamma, beta, styles,
+                                  negative_slope=0.01, add=add,
+                                  interpret=True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_norm_act_gradients(cin_case):
+    x, styles, gamma, beta = cin_case
+    add = jnp.asarray(np.random.default_rng(9).standard_normal(x.shape),
+                      jnp.float32)
+
+    def loss_fused(x, g, b, a):
+        y = fused_instance_norm_act(x, g, b, styles, negative_slope=0.01,
+                                    add=a, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, g, b, a):
+        y = jax.nn.leaky_relu(
+            conditional_instance_norm(x, styles, g, b) + a, 0.01)
+        return jnp.sum(jnp.sin(y))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, gamma, beta, add)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, gamma, beta, add)
+    for a_, b_ in zip(gf, gr):
+        assert np.allclose(np.asarray(a_), np.asarray(b_), atol=1e-4), \
+            (np.abs(np.asarray(a_) - np.asarray(b_)).max())
+
+
+def test_fused_norm_act_plain_affine_grads(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 32)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((32,)) + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+
+    def loss_fused(x, g, b):
+        return jnp.sum(jnp.cos(fused_instance_norm_act(
+            x, g, b, negative_slope=0.2, interpret=True)))
+
+    def loss_ref(x, g, b):
+        return jnp.sum(jnp.cos(jax.nn.leaky_relu(instance_norm(x, g, b), 0.2)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, g, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, g, b)
+    for a_, b_ in zip(gf, gr):
+        assert np.allclose(np.asarray(a_), np.asarray(b_), atol=1e-4)
