@@ -66,7 +66,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, ids_ref, o_ref, *,
                             preferred_element_type=jnp.float32)  # [W, N, N]
     s = s * scale + bias_ref[0][None]
     if ids_ref is not None:
-        ids = ids_ref[...]                            # [W, N] i32
+        ids = ids_ref[:, 0]                           # [W, N] i32
         s = jnp.where(ids[:, None, :] != ids[:, :, None],
                       jnp.float32(ATTN_MASK_VALUE) + s, s)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
@@ -98,7 +98,9 @@ def _pallas_forward(q, k, v, bias, ids, *, num_heads: int, interpret: bool):
     params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
     if ids is not None:
         nww = nw // w
-        spec_ids = pl.BlockSpec((w, n), lambda i, h: (i % nww, 0),
+        # ids as [nW, 1, N]: the 8/128-divisibility rule applies to the
+        # LAST TWO block dims, so (W, 1, N) keeps the window-group dim free
+        spec_ids = pl.BlockSpec((w, 1, n), lambda i, h: (i % nww, 0, 0),
                                 memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_attn_kernel, scale=scale),
@@ -108,7 +110,7 @@ def _pallas_forward(q, k, v, bias, ids, *, num_heads: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
             compiler_params=params,
             interpret=interpret,
-        )(qh, kh, vh, bias, ids)
+        )(qh, kh, vh, bias, ids[:, None, :])
     else:
         out = pl.pallas_call(
             functools.partial(_attn_kernel_nomask, scale=scale),
