@@ -43,7 +43,14 @@ def use_pallas_attn() -> bool:
     return env if env is not None else use_pallas()
 
 
+@functools.lru_cache(maxsize=1)
+def use_pallas_conv() -> bool:
+    env = _flag("MISEG_PALLAS_CONV")
+    return env if env is not None else use_pallas()
+
+
 def clear_cache() -> None:
     use_pallas.cache_clear()
     use_pallas_norm.cache_clear()
     use_pallas_attn.cache_clear()
+    use_pallas_conv.cache_clear()

@@ -242,6 +242,177 @@ def _fin_bwd(c, eps, slope, interpret, res, dy):
 _fin.defvjp(_fin_fwd, _fin_bwd)
 
 
+def _apply2_kernel(x_ref, sx_ref, hx_ref, r_ref, sr_ref, hr_ref, o_ref, *,
+                   slope):
+    x = x_ref[0].astype(jnp.float32)
+    r = r_ref[0].astype(jnp.float32)
+    y = (x * sx_ref[0, 0][None, :] + hx_ref[0, 0][None, :]
+         + r * sr_ref[0, 0][None, :] + hr_ref[0, 0][None, :])
+    if slope is not None:
+        y = jnp.where(y >= 0, y, slope * y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _apply2(x3, sx, hx, r3, sr, hr, c, slope, interpret):
+    bsz, r, m = x3.shape
+    tr = _pick_rows(r, m)
+    spec_x = pl.BlockSpec((1, tr, m), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    reps = m // c
+    cols = [jnp.tile(v, (1, reps))[:, None, :] for v in (sx, hx, sr, hr)]
+    return pl.pallas_call(
+        functools.partial(_apply2_kernel, slope=slope),
+        grid=(bsz, r // tr),
+        in_specs=[spec_x, spec_v, spec_v, spec_x, spec_v, spec_v],
+        out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+        interpret=interpret,
+    )(x3, cols[0], cols[1], r3, cols[2], cols[3])
+
+
+def _apply2_fwd(x3, sx, hx, r3, sr, hr, c, slope, interpret):
+    y = _apply2(x3, sx, hx, r3, sr, hr, c, slope, interpret)
+    return y, (x3, sx, r3, sr, y)
+
+
+def _apply2_bwd(c, slope, interpret, res, dy):
+    x3, sx, r3, sr, y = res
+    bsz, r, m = x3.shape
+    reps = m // c
+    dy32 = dy.astype(jnp.float32)
+    if slope is not None:
+        dy32 = jnp.where(y >= 0, dy32, slope * dy32)
+
+    def fold(t):  # [B, R, M] -> [B, C]
+        return t.reshape(bsz, r, reps, c).sum(axis=(1, 2))
+
+    sx_m = jnp.tile(sx, (1, reps))[:, None, :]
+    sr_m = jnp.tile(sr, (1, reps))[:, None, :]
+    x32 = x3.astype(jnp.float32)
+    r32 = r3.astype(jnp.float32)
+    dh = fold(dy32)
+    return ((dy32 * sx_m).astype(x3.dtype), fold(dy32 * x32), dh,
+            (dy32 * sr_m).astype(r3.dtype), fold(dy32 * r32), dh)
+
+
+_apply2.defvjp(_apply2_fwd, _apply2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _apply1(x3, sx, hx, c, slope, interpret):
+    bsz, r, m = x3.shape
+    reps = m // c
+    scale_m = jnp.tile(sx, (1, reps))
+    shift_m = jnp.tile(hx, (1, reps))
+    return _apply(x3, scale_m, shift_m, None, slope=slope,
+                  interpret=interpret)
+
+
+def _apply1_fwd(x3, sx, hx, c, slope, interpret):
+    y = _apply1(x3, sx, hx, c, slope, interpret)
+    return y, (x3, sx, y)
+
+
+def _apply1_bwd(c, slope, interpret, res, dy):
+    x3, sx, y = res
+    bsz, r, m = x3.shape
+    reps = m // c
+    dy32 = dy.astype(jnp.float32)
+    if slope is not None:
+        dy32 = jnp.where(y >= 0, dy32, slope * dy32)
+    sx_m = jnp.tile(sx, (1, reps))[:, None, :]
+
+    def fold(t):
+        return t.reshape(bsz, r, reps, c).sum(axis=(1, 2))
+
+    return ((dy32 * sx_m).astype(x3.dtype),
+            fold(dy32 * x3.astype(jnp.float32)), fold(dy32))
+
+
+_apply1.defvjp(_apply1_fwd, _apply1_bwd)
+
+
+def apply_norm_act(x: Array, sx: Array, hx: Array, *,
+                   negative_slope: float | None = None,
+                   interpret: bool | None = None) -> Array:
+    """`leaky(x * sx + hx)` in one HBM pass, columns `f32 [B, C]`."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    shape = x.shape
+    mv = merge_view(shape)
+    if mv is None:
+        raise ValueError(f"no lane-dense merge for {shape}")
+    y = _apply1(x.reshape(shape[0], *mv), sx.astype(jnp.float32),
+                hx.astype(jnp.float32), shape[-1], negative_slope, interpret)
+    return y.reshape(shape)
+
+
+def apply_norm2_act(x: Array, sx: Array, hx: Array, res: Array, sr: Array,
+                    hr: Array, *, negative_slope: float | None = None,
+                    interpret: bool | None = None) -> Array:
+    """`leaky((x*sx + hx) + (res*sr + hr))` in ONE HBM pass — the
+    UnetResBlock tail with BOTH branches' instance norms folded into
+    per-channel columns (dynunet_block.py:120-125).
+
+    x/res: `[B, *spatial, C]`; sx/hx/sr/hr: `f32 [B, C]` columns
+    (`fused_conv.norm_columns`).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    shape = x.shape
+    mv = merge_view(shape)
+    if mv is None:
+        raise ValueError(f"no lane-dense merge for {shape}")
+    r, m = mv
+    c = shape[-1]
+    y = _apply2(x.reshape(shape[0], r, m), sx.astype(jnp.float32),
+                hx.astype(jnp.float32), res.reshape(shape[0], r, m),
+                sr.astype(jnp.float32), hr.astype(jnp.float32),
+                c, negative_slope, interpret)
+    return y.reshape(shape)
+
+
+def channel_stats(x: Array, *, interpret: bool | None = None) -> Array:
+    """Per-channel (sum, sum-sq) `f32 [B, 2, C]` over `[B, *spatial, C]` —
+    Pallas dense-merged when possible, jnp otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    shape = x.shape
+    c = shape[-1]
+    mv = merge_view(shape)
+    if mv is not None and _pick_rows(*mv) is not None:
+        x3 = x.reshape(shape[0], *mv)
+        stats = _stats_p(x3, interpret)
+        return stats.reshape(shape[0], 2, mv[1] // c, c).sum(axis=2)
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    return jnp.stack([jnp.sum(x32, axis=axes),
+                      jnp.sum(x32 * x32, axis=axes)], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _stats_p(x3, interpret):
+    return _stats(x3, interpret=interpret)
+
+
+def _stats_p_fwd(x3, interpret):
+    return _stats(x3, interpret=interpret), x3
+
+
+def _stats_p_bwd(interpret, x3, ds):
+    # d(sum)/dx = ds0 broadcast; d(sum-sq)/dx = 2 x ds1
+    bsz, r, m = x3.shape
+    ds0 = ds[:, 0][:, None, :]
+    ds1 = ds[:, 1][:, None, :]
+    return ((ds0 + 2.0 * x3.astype(jnp.float32) * ds1).astype(x3.dtype),)
+
+
+_stats_p.defvjp(_stats_p_fwd, _stats_p_bwd)
+
+
 def supported(shape: tuple[int, ...]) -> bool:
     """True when this kernel can run on `[B, *spatial, C]` (a lane-dense
     merge exists and the row dim blocks cleanly)."""

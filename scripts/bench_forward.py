@@ -22,11 +22,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+_OFF = {"MISEG_PALLAS_NORM": "0", "MISEG_PALLAS_ATTN": "0",
+        "MISEG_PALLAS_CONV": "0"}
 VARIANTS = {
-    "xla": {"MISEG_PALLAS_NORM": "0", "MISEG_PALLAS_ATTN": "0"},
-    "norm": {"MISEG_PALLAS_NORM": "1", "MISEG_PALLAS_ATTN": "0"},
-    "attn": {"MISEG_PALLAS_NORM": "0", "MISEG_PALLAS_ATTN": "1"},
-    "both": {"MISEG_PALLAS_NORM": "1", "MISEG_PALLAS_ATTN": "1"},
+    "xla": _OFF,
+    "norm": {**_OFF, "MISEG_PALLAS_NORM": "1"},
+    "attn": {**_OFF, "MISEG_PALLAS_ATTN": "1"},
+    "conv": {**_OFF, "MISEG_PALLAS_CONV": "1"},
+    "conv+attn": {**_OFF, "MISEG_PALLAS_CONV": "1", "MISEG_PALLAS_ATTN": "1"},
+    "both": {**_OFF, "MISEG_PALLAS_NORM": "1", "MISEG_PALLAS_ATTN": "1"},
 }
 
 
@@ -58,14 +62,25 @@ def main() -> None:
     x = jnp.asarray(rng.random((1, args.roi, args.roi, args.roi, 1),
                                np.float32), jnp.bfloat16)
     mods = jnp.zeros((1,), jnp.int32)
-    with jax.disable_jit(False):
-        os.environ.update(VARIANTS["xla"])  # init without pallas quirks
-        dispatch.clear_cache()
-        variables = model.init({"params": jax.random.key(0)},
-                               x.astype(jnp.float32), mods)
-    params = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables["params"])
+    os.environ.update(VARIANTS["xla"])  # shapes without pallas quirks
+    dispatch.clear_cache()
+    # timing only needs shapes: synthesize params in ONE jitted program
+    # instead of running the real init (minutes on the tunneled backend)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)},
+                           x.astype(jnp.float32), mods))
+
+    @jax.jit
+    def make_params(key):
+        leaves, treedef = jax.tree.flatten(shapes["params"])
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree.unflatten(treedef, [
+            0.05 * jax.random.normal(k, a.shape,
+                                     jnp.bfloat16 if a.dtype == jnp.float32
+                                     else a.dtype)
+            for k, a in zip(keys, leaves)])
+
+    params = make_params(jax.random.key(0))
     reduce = jax.jit(lambda o: o.ravel()[0])
 
     n = args.iters
@@ -74,22 +89,25 @@ def main() -> None:
         os.environ.update(VARIANTS[name])
         dispatch.clear_cache()
 
-        def body(a):
-            y = model.apply({"params": params}, a, mods)   # [1,roi³,6]
+        def body(p, a):
+            y = model.apply({"params": p}, a, mods)        # [1,roi³,6]
             # feed output back as input: broadcast-reduce to 1 channel
             return jnp.broadcast_to(
                 jnp.mean(y, axis=-1, keepdims=True).astype(jnp.bfloat16),
                 a.shape)
 
-        f = jax.jit(lambda a: jax.lax.fori_loop(0, n, lambda i, s: body(s), a))
+        # params are jit ARGUMENTS: closed-over arrays would bake 100MB+
+        # of weight constants into the HLO (slow compiles, distorted runs)
+        f = jax.jit(lambda p, a: jax.lax.fori_loop(
+            0, n, lambda i, s: body(p, s), a))
         t0 = time.perf_counter()
-        np.asarray(reduce(f(x)))
+        np.asarray(reduce(f(params, x)))
         tc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(reduce(f(x)))
+        np.asarray(reduce(f(params, x)))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(reduce(f(f(f(x)))))
+        np.asarray(reduce(f(params, f(params, f(params, x)))))
         t3 = time.perf_counter() - t0
         ms = (t3 - t1) / (2 * n) * 1e3
         print(f"{name:10s} {ms:10.2f} {tc:10.1f}", flush=True)

@@ -195,3 +195,80 @@ def test_fused_norm_act_plain_affine_grads(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, g, b)
     for a_, b_ in zip(gf, gr):
         assert np.allclose(np.asarray(a_), np.asarray(b_), atol=1e-4)
+
+
+# ---- conv3_norm_stats (fused conv + affine-on-read + output stats) ---------
+
+from miseg_tpu.ops.pallas.fused_conv import (conv3_norm_stats, norm_columns,
+                                             supported as conv_supported)
+from miseg_tpu.ops.pallas.fused_conv import _reference as _conv_reference
+
+
+def test_conv_supported():
+    assert conv_supported((1, 8, 8, 8, 4), 3, 1)
+    assert not conv_supported((1, 8, 8, 4), 3, 1)        # 2D
+    assert not conv_supported((1, 8, 8, 8, 4), 3, 2)     # strided
+    assert not conv_supported((1, 8, 8, 8, 4), (3, 3, 1), 1)
+
+
+@pytest.fixture
+def conv_case(rng):
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 8, 5)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 7)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((2, 5)) + 1.0, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((2, 5)), jnp.float32)
+    return x, w, scale, shift
+
+
+def test_conv3_matches_reference(conv_case):
+    x, w, scale, shift = conv_case
+    for sc, sh, sl in ((None, None, None), (scale, shift, None),
+                       (scale, shift, 0.01)):
+        y, s = conv3_norm_stats(x, w, sc, sh, slope=sl, interpret=True)
+        yr, sr = _conv_reference(x, w, sc, sh, sl)
+        assert np.allclose(np.asarray(y), np.asarray(yr), atol=1e-4)
+        assert np.allclose(np.asarray(s), np.asarray(sr), rtol=1e-5, atol=1e-2)
+
+
+def test_conv3_gradients_through_norm(conv_case):
+    """Gradient parity in the realistic composition: conv -> stats ->
+    norm columns -> normalized output (well-conditioned in the stats)."""
+    x, w, scale, shift = conv_case
+    gamma = jnp.asarray(np.random.default_rng(5).standard_normal((2, 7)) + 1.0,
+                        jnp.float32)
+    beta = jnp.asarray(np.random.default_rng(6).standard_normal((2, 7)),
+                       jnp.float32)
+    styles = jnp.asarray([0, 1], jnp.int32)
+    n = 6 * 8 * 8
+
+    def loss(fn):
+        def inner(x, w, sc, sh, g, b):
+            y, s = fn(x, w, sc, sh)
+            s2, h2 = norm_columns(s, n, g, b, styles)
+            yn = y * s2[:, None, None, None, :] + h2[:, None, None, None, :]
+            return jnp.sum(jnp.sin(yn))
+        return inner
+
+    lf = loss(lambda x, w, sc, sh: conv3_norm_stats(
+        x, w, sc, sh, slope=0.01, interpret=True))
+    lr = loss(lambda x, w, sc, sh: _conv_reference(x, w, sc, sh, 0.01))
+    gf = jax.grad(lf, argnums=(0, 1, 2, 3, 4, 5))(x, w, scale, shift, gamma, beta)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4, 5))(x, w, scale, shift, gamma, beta)
+    for a, b_ in zip(gf, gr):
+        ref = np.abs(np.asarray(b_)).max()
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() < 1e-3 + 1e-3 * ref
+
+
+def test_norm_columns_matches_instance_norm(rng):
+    """columns(stats) applied to y == conditional_instance_norm(y)."""
+    y = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 6)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((2, 6)) + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32)
+    styles = jnp.asarray([1, 0], jnp.int32)
+    s0 = jnp.sum(y, axis=(1, 2, 3))
+    s1 = jnp.sum(y * y, axis=(1, 2, 3))
+    stats = jnp.stack([s0, s1], 1)
+    sc, sh = norm_columns(stats, 4 * 4 * 4, gamma, beta, styles)
+    got = y * sc[:, None, None, None, :] + sh[:, None, None, None, :]
+    want = conditional_instance_norm(y, styles, gamma, beta)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-5)
