@@ -39,7 +39,9 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--fs", type=int, default=48)
     p.add_argument("--roi", type=int, default=96)
-    p.add_argument("--variants", default="xla,norm,attn,both")
+    p.add_argument("--variants", default="xla,conv,attn,conv+attn")
+    p.add_argument("--param-mode", default="closure",
+                   choices=["closure", "arg"])
     args = p.parse_args()
 
     import jax
@@ -96,18 +98,26 @@ def main() -> None:
                 jnp.mean(y, axis=-1, keepdims=True).astype(jnp.bfloat16),
                 a.shape)
 
-        # params are jit ARGUMENTS: closed-over arrays would bake 100MB+
-        # of weight constants into the HLO (slow compiles, distorted runs)
-        f = jax.jit(lambda p, a: jax.lax.fori_loop(
-            0, n, lambda i, s: body(p, s), a))
+        if args.param_mode == "closure":
+            # bench.py semantics: the predictor closes over the weights, so
+            # XLA pre-lays them out at compile time
+            f = jax.jit(lambda a: jax.lax.fori_loop(
+                0, n, lambda i, s: body(params, s), a))
+            run = lambda a: f(a)
+        else:
+            # weights as jit arguments (the inferer's params-as-argument
+            # path): per-call weight layout conversions are on the clock
+            g = jax.jit(lambda p, a: jax.lax.fori_loop(
+                0, n, lambda i, s: body(p, s), a))
+            run = lambda a: g(params, a)
         t0 = time.perf_counter()
-        np.asarray(reduce(f(params, x)))
+        np.asarray(reduce(run(x)))
         tc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(reduce(f(params, x)))
+        np.asarray(reduce(run(x)))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(reduce(f(params, f(params, f(params, x)))))
+        np.asarray(reduce(run(run(run(x)))))
         t3 = time.perf_counter() - t0
         ms = (t3 - t1) / (2 * n) * 1e3
         print(f"{name:10s} {ms:10.2f} {tc:10.1f}", flush=True)

@@ -89,3 +89,64 @@ def test_pallas_dispatch_flag_precedence(monkeypatch):
             monkeypatch.setenv("MISEG_PALLAS_NORM", norm)
         assert dispatch.use_pallas_norm() == want, (glob, norm)
     dispatch.clear_cache()
+
+
+def test_dashboard_http_ui(tmp_path):
+    """The dashboard serves the SPA at / and the JSON report at /api."""
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    from miseg_tpu.cli import dashboard
+    from miseg_tpu.hpo import create_study
+
+    storage = str(tmp_path / "j.jsonl")
+    study = create_study(study_name="s", storage=storage)
+
+    def objective(t):
+        x = t.suggest_float("x", 0, 1)
+        for step in range(3):
+            t.report(x * (step + 1), step)
+        return x
+
+    study.optimize(objective, n_trials=2)
+
+    # reuse main()'s handler wiring by serving on an ephemeral port
+    import json as _json
+    from functools import partial
+
+    report = dashboard.study_report(storage, "s")
+    assert [s for s, _ in report["trials"][0]["intermediate"]] == [0, 1, 2]
+
+    import socket
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/api"):
+                body = _json.dumps(dashboard.study_report(storage, "s")).encode()
+                ctype = "application/json"
+            else:
+                body = dashboard._PAGE.encode()
+                ctype = "text/html; charset=utf-8"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read().decode()
+        assert "Optimization history" in html and "svg" in html
+        api = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/report", timeout=5).read())
+        assert api["n_trials"] == 2 and api["best"] is not None
+    finally:
+        srv.shutdown()
