@@ -4,6 +4,9 @@ Reference parity: `PatchEmbeddingBlock`
 (networks/blocks/patch_embedding.py:32-125) — conv (strided conv then
 flatten) or perceptron (space-to-patch rearrange then Linear) patchify,
 learned `[1, n_patches, hidden]` position embedding, trunc-normal init.
+`pos_embed_type="sincos"` extends the surface with the fixed 1D
+sine-cosine table MONAI's later PatchEmbeddingBlock offers (absent from
+the pinned reference, kept for upstream-checkpoint compatibility).
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ class PatchEmbeddingBlock(nn.Module):
     hidden_size: int
     num_heads: int
     pos_embed: str = "conv"  # "conv" | "perceptron"
+    pos_embed_type: str = "learnable"  # "learnable" | "sincos" | "none"
     dropout_rate: float = 0.0
 
     @nn.compact
@@ -63,7 +67,27 @@ class PatchEmbeddingBlock(nn.Module):
         else:
             raise ValueError(f"unsupported pos_embed {self.pos_embed!r}")
 
-        pos = self.param("position_embeddings", trunc_normal(0.02),
-                         (1, n_patches, self.hidden_size))
-        x = x + pos.astype(x.dtype)
+        if self.pos_embed_type == "sincos":
+            # fixed 1D sine-cosine table over the flattened patch index
+            # (still a parameter for checkpoint-shape parity, init = table)
+            def sincos_init(key, shape, dtype=jnp.float32):
+                _, n, h = shape
+                pos_i = np.arange(n)[:, None]
+                div = np.exp(np.arange(0, h, 2) * (-math.log(10000.0) / h))
+                tab = np.zeros((n, h), np.float32)
+                tab[:, 0::2] = np.sin(pos_i * div)
+                tab[:, 1::2] = np.cos(pos_i * div[:h // 2])
+                return jnp.asarray(tab[None], dtype)
+
+            pos = self.param("position_embeddings", sincos_init,
+                             (1, n_patches, self.hidden_size))
+        elif self.pos_embed_type == "learnable":
+            pos = self.param("position_embeddings", trunc_normal(0.02),
+                             (1, n_patches, self.hidden_size))
+        elif self.pos_embed_type == "none":
+            pos = None
+        else:
+            raise ValueError(f"unsupported pos_embed_type {self.pos_embed_type!r}")
+        if pos is not None:
+            x = x + pos.astype(x.dtype)
         return nn.Dropout(rate=self.dropout_rate)(x, deterministic=not train)

@@ -172,3 +172,24 @@ def test_skip_connection_cat():
     x = jnp.ones((1, 4, 4, 4, 3))
     y, _ = m.init_with_output(KEY, x)
     assert y.shape == (1, 4, 4, 4, 6)
+
+
+def test_patch_embedding_pos_embed_types(rng):
+    import jax
+    import jax.numpy as jnp
+    from miseg_tpu.nn.patch_embedding import PatchEmbeddingBlock
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)), jnp.float32)
+    outs = {}
+    for kind in ("learnable", "sincos", "none"):
+        blk = PatchEmbeddingBlock(img_size=(16,) * 3, patch_size=(8,) * 3,
+                                  hidden_size=32, num_heads=4,
+                                  pos_embed_type=kind)
+        v = blk.init({"params": jax.random.key(0)}, x)
+        outs[kind] = np.asarray(blk.apply(v, x))
+        assert outs[kind].shape == (1, 8, 32)
+        if kind != "none":
+            assert v["params"]["position_embeddings"].shape == (1, 8, 32)
+    # sincos table: row 0 alternates sin(0)=0 / cos(0)=1 offsets vs none
+    delta = outs["sincos"][0, 0] - outs["none"][0, 0]
+    assert np.allclose(delta[0::2][0], 0.0, atol=1e-6)
+    assert np.allclose(delta[1::2][0], 1.0, atol=1e-6)
