@@ -73,15 +73,18 @@ def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, scale_ref, shift_ref,
                     src, tap, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [Y, X, Cout]
 
-    y = acc
+    # stats come from the STORED (dtype-rounded) output — matching what the
+    # unfused path's norm reads back from HBM
+    y = acc.astype(out_dtype)
 
     @pl.when(z == 0)
     def _():
         stats_ref[...] = jnp.zeros_like(stats_ref)
 
-    stats_ref[0, 0, :] += jnp.sum(y, axis=(0, 1))
-    stats_ref[0, 1, :] += jnp.sum(y * y, axis=(0, 1))
-    o_ref[0, 0] = y.astype(out_dtype)
+    y32 = y.astype(jnp.float32)
+    stats_ref[0, 0, :] += jnp.sum(y32, axis=(0, 1))
+    stats_ref[0, 1, :] += jnp.sum(y32 * y32, axis=(0, 1))
+    o_ref[0, 0] = y
 
 
 def _conv_kernel_plain(xm_ref, x0_ref, xp_ref, w_ref, o_ref, stats_ref,
@@ -145,13 +148,15 @@ def _reference(x, w, scale, shift, slope):
         if slope is not None:
             t = jnp.where(t >= 0, t, slope * t)
     t = t.astype(x.dtype)
+    # operand-dtype conv (TPU accumulates bf16 convs in f32 internally,
+    # like the kernel's f32 partials); no preferred_element_type — its vjp
+    # mixes bf16/f32 operands and conv_general_dilated rejects that
     yv = lax.conv_general_dilated(
         t, w.astype(x.dtype), (1, 1, 1), [(1, 1)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32)
-    s0 = jnp.sum(yv, axis=(1, 2, 3))
-    s1 = jnp.sum(yv * yv, axis=(1, 2, 3))
-    yv = yv.astype(x.dtype)
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    y32 = yv.astype(jnp.float32)
+    s0 = jnp.sum(y32, axis=(1, 2, 3))
+    s1 = jnp.sum(y32 * y32, axis=(1, 2, 3))
     return yv, jnp.stack([s0, s1], axis=1)
 
 

@@ -119,7 +119,8 @@ def _stats(x3, *, interpret: bool):
 
 def _apply(x3, scale_m, shift_m, add3, *, slope, interpret: bool):
     bsz, r, m = x3.shape
-    tr = _pick_rows(r, m)
+    # two streamed blocks (x + add) double the per-row stack cost
+    tr = _pick_rows(r, m, budget=(6 if add3 is not None else 12) * 1024 * 1024)
     spec_x = pl.BlockSpec((1, tr, m), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     # [B, 1, M] with block (1, 1, M): every block dim equals the full dim
@@ -256,7 +257,7 @@ def _apply2_kernel(x_ref, sx_ref, hx_ref, r_ref, sr_ref, hr_ref, o_ref, *,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _apply2(x3, sx, hx, r3, sr, hr, c, slope, interpret):
     bsz, r, m = x3.shape
-    tr = _pick_rows(r, m)
+    tr = _pick_rows(r, m, budget=6 * 1024 * 1024)  # two streamed blocks
     spec_x = pl.BlockSpec((1, tr, m), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     spec_v = pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
