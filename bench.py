@@ -42,8 +42,9 @@ def main() -> None:
                  or "tpu" in str(d).lower() for d in jax.devices())
     # CPU fallback uses a small config so CI stays fast; TPU runs the real one
     if on_tpu:
-        # sw_batch_size=1 measured fastest on v5e (batched swin windows
-        # produce worse layouts: 2.2x slower at bs=2/4, OOM at 9)
+        # sw_batch_size is perf-neutral since the serial-map fix (round 2:
+        # bs=1/2/4 all ~25.9 patches/s; true batching loses 2.2x to an XLA
+        # norm-stats fusion failure at batch>=2 — see BASELINE.md)
         fs, heads, roi, vol, sw_bs, out_ch = 48, 3, (96, 96, 96), (224, 224, 224), 1, 6
     else:
         fs, heads, roi, vol, sw_bs, out_ch = 12, 2, (32, 32, 32), (64, 64, 64), 2, 6

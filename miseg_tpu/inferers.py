@@ -162,7 +162,8 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
                          importance: Array, count: Array, *,
                          grid: tuple[int, ...], roi: tuple[int, ...],
                          interval: tuple[int, ...],
-                         out_channels: int, mesh=None) -> Array:
+                         out_channels: int, mesh=None,
+                         batch_windows: bool = False) -> Array:
     """Static overlap-add blend for regular-stride window grids.
 
     The scan/dynamic-update-slice accumulator in `_sw_core` is correct but
@@ -189,10 +190,29 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
         def step(_, group):
             windows = jax.vmap(extract)(group)      # [k, B, *roi, C]
             k = windows.shape[0]
-            windows = windows.reshape(k * b, *roi, x.shape[-1])
-            mods = (jnp.tile(modalities, k) if modalities is not None else None)
-            logits = predict_fn(windows, mods).astype(jnp.float32)
-            logits = logits.reshape(k, b, *roi, out_channels) * imp[None]
+            if k > 1 and not batch_windows:
+                # groups run as a SERIAL map: measured on v5e, batching
+                # windows through the model is 2.2x slower per window —
+                # at batch>=2 XLA stops fusing the instance-norm stats
+                # reductions at full resolution and materializes paired
+                # f32 tensors (e.g. `(f32[96,96,16,13,48], f32[...])`
+                # fusions ~2GB each), quadrupling physical HBM traffic
+                # (26.3 -> 103.6 GB for 2 windows; BASELINE.md round 2)
+                if modalities is not None:
+                    logits = jax.lax.map(
+                        lambda wm: predict_fn(wm[0], wm[1]),
+                        (windows, jnp.broadcast_to(modalities, (k, b))))
+                else:
+                    logits = jax.lax.map(lambda w: predict_fn(w, None),
+                                         windows)
+                logits = logits.astype(jnp.float32)
+            else:
+                flat = windows.reshape(k * b, *roi, x.shape[-1])
+                mods = (jnp.tile(modalities, k)
+                        if modalities is not None else None)
+                logits = predict_fn(flat, mods).astype(jnp.float32)
+                logits = logits.reshape(k, b, *roi, out_channels)
+            logits = logits * imp[None]
             return None, logits
 
         return jax.lax.scan(step, None, starts)[1]
@@ -272,11 +292,15 @@ class SlidingWindowInferer:
                  mode: str = "constant", sigma_scale: float = 0.125,
                  out_channels: int | None = None,
                  stitch_on_host: bool = False, progress: bool = False,
-                 mesh=None):
+                 mesh=None, batch_windows: bool = False):
+        # batch_windows=False runs sw_batch_size groups as a serial in-jit
+        # map — identical outputs; true batching is 2.2x slower/window on
+        # TPU (XLA norm-stats fusion failure at batch>=2, BASELINE.md)
         # mesh: optional jax.sharding.Mesh — windows fan out across its
         # first axis (each device scans its shard of the window grid), an
         # inference-scaling capability with no reference analog.
         self.mesh = mesh
+        self.batch_windows = bool(batch_windows)
         # `progress` shows a tqdm bar on the host-stitch path (the
         # reference's predict_whs.py:78 behavior); the fully-jitted device
         # path is one program and has no per-window host visibility.
@@ -360,7 +384,8 @@ class SlidingWindowInferer:
                                            count, grid=grid, roi=roi,
                                            interval=interval,
                                            out_channels=out_ch,
-                                           mesh=self.mesh)
+                                           mesh=self.mesh,
+                                           batch_windows=self.batch_windows)
                 crop = tuple(slice(q[0], q[0] + s)
                              for q, s in zip(pads[1:-1], spatial))
                 return out[(slice(None), *crop, slice(None))]

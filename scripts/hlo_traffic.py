@@ -81,6 +81,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--fs", type=int, default=48)
     p.add_argument("--roi", type=int, default=96)
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--top", type=int, default=25)
     args = p.parse_args()
 
@@ -100,9 +101,9 @@ def main() -> None:
                  decoder_norm_name="instance")
     model = model_from_config(cfg)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((1, args.roi, args.roi, args.roi, 1),
+    x = jnp.asarray(rng.random((args.batch, args.roi, args.roi, args.roi, 1),
                                np.float32), jnp.bfloat16)
-    mods = jnp.zeros((1,), jnp.int32)
+    mods = jnp.zeros((args.batch,), jnp.int32)
     variables = jax.eval_shape(
         lambda: model.init({"params": jax.random.key(0)},
                            x.astype(jnp.float32), mods))

@@ -167,3 +167,25 @@ def test_mesh_window_fanout_matches_single_device(rng):
     a = np.asarray(single(x, jnp.array([1], jnp.int32)))
     b = np.asarray(multi(x, jnp.array([1], jnp.int32)))
     assert np.allclose(a, b, atol=1e-4)
+
+
+def test_true_batch_windows_matches_serial(rng):
+    """batch_windows=True (real model batching) == the default serial map."""
+    import jax
+    import jax.numpy as jnp
+    from miseg_tpu.inferers import SlidingWindowInferer
+
+    def predict(w, m):
+        # spatial mixing + modality offset so batching bugs would show
+        shift = jnp.roll(w, 1, axis=1)
+        base = jnp.concatenate([w + shift, w * shift], axis=-1)
+        return base + (m.astype(jnp.float32)[:, None, None, None, None]
+                       if m is not None else 0.0)
+
+    vol = jnp.asarray(rng.standard_normal((1, 24, 24, 24, 1)), jnp.float32)
+    mods = jnp.ones((1,), jnp.int32)
+    kw = dict(roi_size=(16, 16, 16), sw_batch_size=4, overlap=0.5,
+              mode="gaussian", out_channels=2)
+    serial = SlidingWindowInferer(predict, **kw)(vol, mods)
+    batched = SlidingWindowInferer(predict, batch_windows=True, **kw)(vol, mods)
+    assert np.allclose(np.asarray(serial), np.asarray(batched), atol=1e-5)
