@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import gzip
 import os
@@ -140,7 +141,7 @@ def main() -> None:
         label = jnp.asarray(np.random.default_rng(1).integers(
             0, cfg.out_channels, (1, args.roi, args.roi, args.roi)), jnp.int32)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(p, o, image, lab, m):
             def loss_of(pp):
                 pc = jax.tree.map(lambda a: a.astype(jnp.bfloat16)

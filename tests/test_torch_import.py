@@ -132,3 +132,73 @@ def test_lightning_prefix_and_fc_rename(rng):
     src = translate_reference_state_dict(sd)
     assert src["out"]["conv"]["conv"]["kernel"].shape == (1, 1, 1, 4, 2)
     assert src["vit"]["blocks_0"]["mlp"]["linear1"]["kernel"].shape == (4, 8)
+
+
+def test_pre_swin_unetr_ingest(tmp_path, rng):
+    """Driver config #4: fine-tune from MONAI's SSL `model_swinvit.pt` —
+    swinViT weights transplant (with torch->flax layout moves), everything
+    else stays at init (utils.py:28-37 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from miseg_tpu.config import Config
+    from miseg_tpu.models import model_from_config
+    from miseg_tpu.train.pretrained import load_swin_vit_torch
+
+    cfg = Config(model_name="pre_swin_unetr", out_channels=3,
+                 feature_size=[12], num_heads=2, roi_x=32, roi_y=32, roi_z=32,
+                 encoder_norm_name="instance", vit_norm_name="layer",
+                 decoder_norm_name="instance")
+    model = model_from_config(cfg)
+    x = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x,
+                           jnp.zeros((1,), jnp.int32))
+    params = variables["params"]
+    svt = params["swinViT"]
+
+    # synthesize a torch checkpoint whose tensors invert our flax layouts,
+    # with the module. prefix and fc1/fc2 names the reference strips/renames
+    pe = np.asarray(svt["patch_embed"]["proj"]["kernel"])  # [*k, I, O]
+    qkv = np.asarray(svt["layers1"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    mlp1 = np.asarray(svt["layers1"]["blocks_0"]["mlp"]["linear1"]["kernel"])
+    sd = {
+        "module.swinViT.patch_embed.proj.weight": torch.from_numpy(
+            rng.standard_normal(tuple(np.transpose(
+                pe, (4, 3, 0, 1, 2)).shape)).astype(np.float32)),
+        "module.swinViT.layers1.0.blocks.0.attn.qkv.weight": torch.from_numpy(
+            rng.standard_normal(qkv.T.shape).astype(np.float32)),
+        "module.swinViT.layers1.0.blocks.0.mlp.fc1.weight": torch.from_numpy(
+            rng.standard_normal(mlp1.T.shape).astype(np.float32)),
+        # wrong-shaped entry must be shape-skipped, not crash
+        "module.swinViT.layers2.0.blocks.0.attn.qkv.weight": torch.from_numpy(
+            rng.standard_normal((5, 5)).astype(np.float32)),
+    }
+    path = tmp_path / "model_swinvit.pt"
+    torch.save({"state_dict": sd}, path)
+
+    loaded = load_swin_vit_torch(str(path), params, verbose=False)
+
+    got = np.asarray(loaded["swinViT"]["patch_embed"]["proj"]["kernel"])
+    want = np.transpose(sd["module.swinViT.patch_embed.proj.weight"].numpy(),
+                        (2, 3, 4, 1, 0))
+    assert np.allclose(got, want)
+    got_qkv = np.asarray(loaded["swinViT"]["layers1"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    assert np.allclose(
+        got_qkv, sd["module.swinViT.layers1.0.blocks.0.attn.qkv.weight"].numpy().T)
+    got_mlp = np.asarray(loaded["swinViT"]["layers1"]["blocks_0"]["mlp"]["linear1"]["kernel"])
+    assert np.allclose(
+        got_mlp, sd["module.swinViT.layers1.0.blocks.0.mlp.fc1.weight"].numpy().T)
+    # untouched subtree and shape-skipped entry stay at init
+    assert np.allclose(np.asarray(loaded["encoder1"]["layer"]["conv1"]["conv"]["kernel"]),
+                       np.asarray(params["encoder1"]["layer"]["conv1"]["conv"]["kernel"]))
+    assert np.allclose(
+        np.asarray(loaded["swinViT"]["layers2"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(svt["layers2"]["blocks_0"]["attn"]["qkv"]["kernel"]))
+    # the engine path consumes it end-to-end
+    from miseg_tpu.train.engine import Trainer
+    eng = Trainer(cfg.replace(pre_swin=str(path)))
+    state = eng.fresh_state(np.zeros((1, 32, 32, 32, 1), np.float32),
+                            np.zeros((1,), np.int32))
+    got2 = np.asarray(state.params["swinViT"]["patch_embed"]["proj"]["kernel"])
+    assert np.allclose(got2, want)
