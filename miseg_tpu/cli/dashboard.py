@@ -19,13 +19,17 @@ from ..hpo import create_study
 
 
 def study_report(storage: str, study_name: str = "study") -> dict:
+    # direction is adopted from the journal's persisted study record
     study = create_study(study_name=study_name, storage=storage,
                          load_if_exists=True)
+    # Trial.intermediate holds pruner-normalized values (sign-flipped for
+    # minimize studies) — undo that for display
+    sign = 1.0 if study.direction == "maximize" else -1.0
     trials = [{
         "number": t.number, "state": t.state, "value": t.value,
         "params": t.params,
         "reported": len(t.intermediate),
-        "intermediate": sorted((int(s), float(v))
+        "intermediate": sorted((int(s), sign * float(v))
                                for s, v in t.intermediate.items()),
     } for t in study.trials]
     best = study.best_trial

@@ -113,8 +113,13 @@ class Study:
         self.pruner = pruner or NopPruner()
         self.storage = JournalStorage(storage)
         self.trials: list[Trial] = []
+        self._direction_recorded = False
         if load_if_exists:
             self._restore()
+        if not self._direction_recorded:
+            # persist direction so journal READERS (dashboard, a resuming
+            # study opened with the default) adopt the creator's direction
+            self.storage.record({"op": "study", "direction": self.direction})
 
     def _norm(self, v: float) -> float:
         return v if self.direction == "maximize" else -v
@@ -123,7 +128,10 @@ class Study:
         by_num: dict[int, Trial] = {}
         for rec in self.storage.replay():
             n = rec.get("trial")
-            if rec["op"] == "create":
+            if rec["op"] == "study":
+                self.direction = rec.get("direction", self.direction)
+                self._direction_recorded = True
+            elif rec["op"] == "create":
                 by_num[n] = Trial(self, n)
             elif n in by_num:
                 t = by_num[n]
@@ -175,8 +183,11 @@ class Study:
                 value = objective(trial)
                 self.tell(trial, float(value), "complete")
             except TrialPruned:
-                best = (max(trial.intermediate.values())
-                        if trial.intermediate else None)
+                # intermediates are stored normalized; tell() takes RAW
+                best_n = (max(trial.intermediate.values())
+                          if trial.intermediate else None)
+                best = (best_n if best_n is None
+                        else self._norm(best_n))  # involution: un-normalize
                 self.tell(trial, best, "pruned")
             done += 1
 

@@ -219,24 +219,7 @@ def conv3_norm_stats(x: Array, w: Array, scale: Array | None = None,
     return _fconv(x, w, scale, shift, slope, interpret)
 
 
-def norm_columns(stats: Array, n_total: int, gamma: Array | None,
-                 beta: Array | None, styles: Array | None,
-                 eps: float = 1e-5) -> tuple[Array, Array]:
-    """Fold `[B, 2, C]` stats into per-sample (scale, shift) `f32 [B, C]`
-    implementing `gamma * (x - mean) / std + beta`."""
-    s0, s1 = stats[:, 0], stats[:, 1]
-    mean = s0 / n_total
-    var = jnp.maximum(s1 / n_total - mean * mean, 0.0)
-    inv = lax.rsqrt(var + eps)
-    bsz, c = mean.shape
-    if gamma is None:
-        g = jnp.ones((bsz, c), jnp.float32)
-        b = jnp.zeros((bsz, c), jnp.float32)
-    elif gamma.ndim == 2:
-        g = jnp.take(gamma.astype(jnp.float32), styles, axis=0, mode="clip")
-        b = jnp.take(beta.astype(jnp.float32), styles, axis=0, mode="clip")
-    else:
-        g = jnp.broadcast_to(gamma.astype(jnp.float32), (bsz, c))
-        b = jnp.broadcast_to(beta.astype(jnp.float32), (bsz, c))
-    scale = inv * g
-    return scale, b - mean * scale
+# the stats -> (scale, shift) column fold is owned by fused_norm (one
+# implementation for every fused consumer); re-exported here because the
+# dynunet fused path reads it alongside conv3_norm_stats
+from .fused_norm import norm_columns  # noqa: E402,F401

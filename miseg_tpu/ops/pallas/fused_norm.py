@@ -146,22 +146,11 @@ def _apply(x3, scale_m, shift_m, add3, *, slope, interpret: bool):
     )(x3, scale_m[:, None, :], shift_m[:, None, :], add3)
 
 
-def _fold_stats(stats, c: int, n_total: int, eps: float):
-    """`[B, 2, M] -> (mean, inv) [B, C]` in f32."""
-    bsz, _, m = stats.shape
-    sums = stats.reshape(bsz, 2, m // c, c).sum(axis=2)   # [B, 2, C]
-    mean = sums[:, 0] / n_total
-    var = jnp.maximum(sums[:, 1] / n_total - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    return mean, inv
-
-
-def _columns(mean, inv, g, b, m: int):
-    """Per-column scale/shift `[B, M]` from per-channel stats/affine."""
-    scale_c = inv * g                         # [B, C]
-    shift_c = b - mean * scale_c
-    reps = m // scale_c.shape[-1]
-    return (jnp.tile(scale_c, (1, reps)), jnp.tile(shift_c, (1, reps)))
+def fold_stats(stats, n_total: int, eps: float):
+    """Per-channel `[B, 2, C]` (sum, sum-sq) -> (mean, inv_std) `[B, C]`."""
+    mean = stats[:, 0] / n_total
+    var = jnp.maximum(stats[:, 1] / n_total - mean * mean, 0.0)
+    return mean, jax.lax.rsqrt(var + eps)
 
 
 def _gather_affine(gamma, beta, styles, bsz: int, c: int):
@@ -176,6 +165,33 @@ def _gather_affine(gamma, beta, styles, bsz: int, c: int):
                 jnp.take(b32, styles, axis=0, mode="clip"))
     return (jnp.broadcast_to(g32, (bsz, c)),
             jnp.broadcast_to(b32, (bsz, c)))
+
+
+def norm_columns(stats: Array, n_total: int, gamma: Array | None,
+                 beta: Array | None, styles: Array | None,
+                 eps: float = 1e-5) -> tuple[Array, Array]:
+    """Fold `[B, 2, C]` stats into per-sample (scale, shift) `f32 [B, C]`
+    implementing `gamma * (x - mean) / std + beta` — the shared column
+    math of every fused-norm consumer (also re-exported by fused_conv)."""
+    mean, inv = fold_stats(stats, n_total, eps)
+    g, b = _gather_affine(gamma, beta, styles, *mean.shape)
+    scale = inv * g
+    return scale, b - mean * scale
+
+
+def _fold_stats(stats, c: int, n_total: int, eps: float):
+    """`[B, 2, M] -> (mean, inv) [B, C]` in f32."""
+    bsz, _, m = stats.shape
+    sums = stats.reshape(bsz, 2, m // c, c).sum(axis=2)   # [B, 2, C]
+    return fold_stats(sums, n_total, eps)
+
+
+def _columns(mean, inv, g, b, m: int):
+    """Per-column scale/shift `[B, M]` from per-channel stats/affine."""
+    scale_c = inv * g                         # [B, C]
+    shift_c = b - mean * scale_c
+    reps = m // scale_c.shape[-1]
+    return (jnp.tile(scale_c, (1, reps)), jnp.tile(shift_c, (1, reps)))
 
 
 def _forward(x3, add3, g_b, b_b, c, eps, slope, interpret):
@@ -416,11 +432,13 @@ _stats_p.defvjp(_stats_p_fwd, _stats_p_bwd)
 
 def supported(shape: tuple[int, ...]) -> bool:
     """True when this kernel can run on `[B, *spatial, C]` (a lane-dense
-    merge exists and the row dim blocks cleanly)."""
+    merge exists and the row dim blocks cleanly).  Checked against the
+    WORST-CASE budget (the 6MB two-streamed-block applies) so every
+    dispatchable path — including residual adds — compiles."""
     if len(shape) < 3:
         return False
     mv = merge_view(shape)
-    return mv is not None and _pick_rows(*mv) is not None
+    return mv is not None and _pick_rows(*mv, budget=6 * 1024 * 1024) is not None
 
 
 def fused_instance_norm_act(

@@ -108,6 +108,15 @@ class CheckpointManager:
                 state = json.load(f)
         except (OSError, json.JSONDecodeError):
             return
+        # A sidecar recorded under a DIFFERENT monitored metric or mode is
+        # incomparable — start the top-k record fresh rather than ranking
+        # mixed metrics against each other.
+        if (state.get("monitor", self.monitor) != self.monitor
+                or state.get("mode", self.mode) != self.mode):
+            print(f"CheckpointManager: discarding persisted top-k recorded "
+                  f"for monitor={state.get('monitor')!r}/mode="
+                  f"{state.get('mode')!r} (now {self.monitor!r}/{self.mode!r})")
+            return
         # Keep only entries whose checkpoint files still exist on disk.
         self._topk = [(float(m), p) for m, p in state.get("topk", [])
                       if os.path.exists(p)]

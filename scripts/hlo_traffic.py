@@ -68,11 +68,17 @@ def parse_shape(text: str) -> int:
 
 
 def classify(line: str) -> str:
-    for kind in ("convolution", "fusion", "copy", "transpose", "reduce",
-                 "custom-call", "dot", "pad", "slice", "bitcast",
-                 "dynamic-slice", "dynamic-update-slice", "while",
-                 "broadcast", "iota", "constant", "parameter", "reshape"):
-        if f" {kind}(" in line or f"= {kind}" in line or f"-start" in line and kind == "copy":
+    # async collectives keep their own family (all-gather-start etc.);
+    # only copy-start/copy-done count as copies.  Matches are on the
+    # ` kind(` call form so e.g. reduce-scatter never lands in "reduce".
+    for kind in ("all-gather", "all-reduce", "reduce-scatter",
+                 "collective-permute", "convolution", "fusion",
+                 "dynamic-update-slice", "dynamic-slice", "copy",
+                 "transpose", "reduce-window", "reduce", "custom-call",
+                 "dot", "pad", "slice", "bitcast", "while", "broadcast",
+                 "iota", "constant", "parameter", "reshape"):
+        if (f" {kind}(" in line or f" {kind}-start(" in line
+                or f" {kind}-done(" in line):
             return kind
     return "other"
 

@@ -99,3 +99,35 @@ def test_pruned_trials_recorded(tmp_path):
     study.optimize(objective, n_trials=3)
     assert all(t.state == "pruned" for t in study.trials)
     assert study.best_trial is None
+
+
+def test_direction_persisted_in_journal(tmp_path):
+    """Journal readers (dashboard, default-opened resumes) adopt the
+    creator's direction; pruned values and intermediates stay in raw units."""
+    from miseg_tpu.hpo import create_study
+
+    storage = str(tmp_path / "j.jsonl")
+    study = create_study(storage=storage, direction="minimize")
+
+    def objective(t):
+        x = t.suggest_float("x", 0.1, 1.0)
+        for step in range(3):
+            t.report(10.0 + x - step, step)
+        return 10.0 + x
+
+    study.optimize(objective, n_trials=3)
+    best_value = study.best_trial.value
+
+    # a reader opening with the DEFAULT direction adopts minimize
+    reader = create_study(storage=storage)
+    assert reader.direction == "minimize"
+    assert reader.best_trial.value == best_value
+    assert reader.best_trial.value == min(
+        t.value for t in reader.trials if t.value is not None)
+
+    from miseg_tpu.cli.dashboard import study_report
+    rep = study_report(storage)
+    assert rep["direction"] == "minimize"
+    # intermediates reported in raw units (positive losses, not negated)
+    vals = [v for t in rep["trials"] for _, v in t["intermediate"]]
+    assert all(v > 0 for v in vals)
