@@ -25,8 +25,8 @@ from miseg_tpu.config import parse_config
 from miseg_tpu.cli.train import main as train_main
 
 
-def main() -> dict:
-    cfg = parse_config()
+def main(cfg=None) -> dict:
+    cfg = cfg or parse_config()
     fold_metrics = []
     for fold in (1, 2):
         fold_cfg = cfg.replace(

@@ -59,3 +59,48 @@ def test_predict_cli_native_space(env):
                          os.path.basename(written[0]).replace("label", "image")))
     assert pred.data.shape == src.data.shape
     assert np.allclose(pred.affine, src.affine, atol=1e-3)
+
+
+def test_tune_cli_main(env):
+    """The tune entry point end-to-end: study creation on journal storage,
+    TPE suggestions, ASHA pruner wiring, per-trial fits, best-trial
+    report — then the dashboard reads the same journal."""
+    root, cfg = env
+    tcfg = cfg.replace(default_root_dir=str(root / "tune_exp"),
+                       study_name="tune_s", n_trials=2, max_epochs=1,
+                       check_val_every_n_epoch=1)
+    from miseg_tpu.cli import tune as tune_cli
+    study = tune_cli.main(tcfg)
+    assert len(study.trials) == 2
+    assert study.best_trial is not None
+    assert "lr" in study.best_trial.params
+
+    from miseg_tpu.cli.dashboard import study_report
+    storage = str(root / "tune_exp" / f"{tcfg.storage_name}.journal.jsonl")
+    rep = study_report(storage, "tune_s")
+    assert rep["n_trials"] == 2 and rep["direction"] == "maximize"
+
+
+def test_run_cv_two_folds(env, tmp_path):
+    """scripts/run_cv.py: both folds train, per-fold metrics are read from
+    each experiment dir, and the aggregate means land in cv_summary.json."""
+    import importlib.util
+    import shutil
+
+    root, cfg = env
+    # the CV protocol wants CT_fold{1,2}.json datalists
+    for fold in (1, 2):
+        shutil.copy(root / "CT.json", root / f"CT_fold{fold}.json")
+    spec = importlib.util.spec_from_file_location(
+        "run_cv", "/root/repo/scripts/run_cv.py")
+    run_cv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_cv)
+    cv_cfg = cfg.replace(default_root_dir=str(tmp_path / "cv"),
+                         json_lists=["CT_fold1.json", "MR.json"],
+                         study_name="cv_s", max_epochs=1)
+    agg = run_cv.main(cv_cfg)
+    assert any(k.startswith("cv/test/") for k in agg), agg
+    import json as _json
+    summary = _json.load(open(tmp_path / "cv" / "cv_summary.json"))
+    assert len(summary["folds"]) == 2
+    assert all(f.get("test/accuracy/avg") is not None for f in summary["folds"])
