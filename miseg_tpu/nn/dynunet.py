@@ -86,7 +86,8 @@ def _fuse_plan(norm, act, dropout, x, modalities, kernel_size, stride, train,
             or kind not in ("instance", "instance_cond")
             or not kw.get("affine", kw.get("elementwise_affine", True))
             or (kind == "instance_cond" and modalities is None)
-            or not fused_conv.supported(x.shape, kernel_size, stride)
+            or not fused_conv.supported(x.shape, kernel_size, stride,
+                                        out_channels)
             or not fused_norm.supported((*x.shape[:-1], out_channels))):
         return None
     num_styles = kw.get("num_styles", 2) if kind == "instance_cond" else None

@@ -49,6 +49,13 @@ def use_pallas_conv() -> bool:
     return env if env is not None else use_pallas()
 
 
+def interpret_default() -> bool:
+    """Pallas kernels run the interpreter off-TPU (CPU tests) and compiled
+    Mosaic on real hardware — the single source of truth for the backend
+    sniff every kernel entry point shares."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def clear_cache() -> None:
     use_pallas.cache_clear()
     use_pallas_norm.cache_clear()

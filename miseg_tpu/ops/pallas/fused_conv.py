@@ -37,12 +37,12 @@ Array = jax.Array
 
 
 def _transform(plane, scale_ref, shift_ref, slope):
-    """Input transform: per-channel affine + optional leaky (f32)."""
+    """Input transform: optional per-channel affine, optional leaky (f32)."""
     p = plane.astype(jnp.float32)
     if scale_ref is not None:
         p = p * scale_ref[0, 0][None, None, :] + shift_ref[0, 0][None, None, :]
-        if slope is not None:
-            p = jnp.where(p >= 0, p, slope * p)
+    if slope is not None:
+        p = jnp.where(p >= 0, p, slope * p)
     return p
 
 
@@ -145,8 +145,8 @@ def _reference(x, w, scale, shift, slope):
     if scale is not None:
         bshape = (x.shape[0],) + (1,) * 3 + (x.shape[-1],)
         t = t * scale.reshape(bshape) + shift.reshape(bshape)
-        if slope is not None:
-            t = jnp.where(t >= 0, t, slope * t)
+    if slope is not None:
+        t = jnp.where(t >= 0, t, slope * t)
     t = t.astype(x.dtype)
     # operand-dtype conv (TPU accumulates bf16 convs in f32 internally,
     # like the kernel's f32 partials); no preferred_element_type — its vjp
@@ -187,16 +187,29 @@ def _fconv_bwd(slope, interpret, res, cts):
 _fconv.defvjp(_fconv_fwd, _fconv_bwd)
 
 
-def supported(x_shape: tuple[int, ...], kernel_size, strides) -> bool:
-    """3D, kernel 3, stride 1, spatial dims present."""
+def supported(x_shape: tuple[int, ...], kernel_size, strides,
+              out_channels: int | None = None) -> bool:
+    """3D, kernel 3, stride 1, spatial dims present, and the per-step VMEM
+    working set (3 haloed input planes + padded copies + f32 partials +
+    output plane + weights) within the raised 100MB limit — oversized
+    planes fall back to XLA instead of failing at Mosaic compile."""
     if len(x_shape) != 5:
         return False
     ks = kernel_size if isinstance(kernel_size, (list, tuple)) else (kernel_size,) * 3
     ss = strides if isinstance(strides, (list, tuple)) else (strides,) * 3
     if tuple(ks) != (3, 3, 3) or tuple(ss) != (1, 1, 1):
         return False
-    _, z, y, xd, c = x_shape
-    return z >= 2 and y >= 2 and xd >= 2
+    _, z, y, xd, cin = x_shape
+    if not (z >= 2 and y >= 2 and xd >= 2):
+        return False
+    cout = out_channels if out_channels is not None else cin
+    lane = lambda c: -(-c // 128) * 128  # VMEM lane padding
+    plane = y * xd
+    # worst case f32 (model init traces in f32): 3 in-planes + 3 zero-
+    # padded copies + acc + out + a temporary, plus the full weight block
+    est = plane * (6 * lane(cin) + 3 * lane(cout)) * 4 \
+        + 27 * cin * lane(cout) * 4
+    return est <= 80 * 1024 * 1024
 
 
 def conv3_norm_stats(x: Array, w: Array, scale: Array | None = None,
@@ -212,7 +225,8 @@ def conv3_norm_stats(x: Array, w: Array, scale: Array | None = None,
     normalize-on-read); slope: leaky negative_slope fused after the affine.
     """
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     if scale is not None:
         scale = scale.astype(jnp.float32)
         shift = shift.astype(jnp.float32)

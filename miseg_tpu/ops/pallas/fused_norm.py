@@ -101,10 +101,18 @@ def _apply_add_kernel(x_ref, s_ref, h_ref, a_ref, o_ref, *, slope):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _require_rows(r: int, m: int, budget: int = 12 * 1024 * 1024) -> int:
+    tr = _pick_rows(r, m, budget=budget)
+    if tr is None:
+        raise ValueError(f"no row blocking for merged view ({r}, {m}); "
+                         "check supported() before dispatching")
+    return tr
+
+
 def _stats(x3, *, interpret: bool):
     """Per-column sums: `[B, R, M] -> f32 [B, 2, M]`."""
     bsz, r, m = x3.shape
-    tr = _pick_rows(r, m)
+    tr = _require_rows(r, m)
     return pl.pallas_call(
         _stats_kernel,
         grid=(bsz, r // tr),
@@ -120,7 +128,7 @@ def _stats(x3, *, interpret: bool):
 def _apply(x3, scale_m, shift_m, add3, *, slope, interpret: bool):
     bsz, r, m = x3.shape
     # two streamed blocks (x + add) double the per-row stack cost
-    tr = _pick_rows(r, m, budget=(6 if add3 is not None else 12) * 1024 * 1024)
+    tr = _require_rows(r, m, budget=(6 if add3 is not None else 12) * 1024 * 1024)
     spec_x = pl.BlockSpec((1, tr, m), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     # [B, 1, M] with block (1, 1, M): every block dim equals the full dim
@@ -247,7 +255,12 @@ def _fin_bwd(c, eps, slope, interpret, res, dy):
         dgam_rows = fold(dy32 * xhat)                    # [B, C]
         dbet_rows = fold(dy32)
         if gamma.ndim == 2:  # conditional banks: segment-sum by style
-            onehot = jax.nn.one_hot(styles, gamma.shape[0], dtype=jnp.float32)
+            # clip like the forward gather: out-of-range ids route their
+            # gradient to the clamped bank (matches autodiff of
+            # take(mode="clip")), not nowhere
+            styles_c = jnp.clip(styles, 0, gamma.shape[0] - 1)
+            onehot = jax.nn.one_hot(styles_c, gamma.shape[0],
+                                    dtype=jnp.float32)
             dgamma = jnp.einsum("bs,bc->sc", onehot, dgam_rows).astype(gdt)
             dbeta = jnp.einsum("bs,bc->sc", onehot, dbet_rows).astype(gdt)
         else:
@@ -273,7 +286,7 @@ def _apply2_kernel(x_ref, sx_ref, hx_ref, r_ref, sr_ref, hr_ref, o_ref, *,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _apply2(x3, sx, hx, r3, sr, hr, c, slope, interpret):
     bsz, r, m = x3.shape
-    tr = _pick_rows(r, m, budget=6 * 1024 * 1024)  # two streamed blocks
+    tr = _require_rows(r, m, budget=6 * 1024 * 1024)  # two streamed blocks
     spec_x = pl.BlockSpec((1, tr, m), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     spec_v = pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
@@ -357,7 +370,8 @@ def apply_norm_act(x: Array, sx: Array, hx: Array, *,
                    interpret: bool | None = None) -> Array:
     """`leaky(x * sx + hx)` in one HBM pass, columns `f32 [B, C]`."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     shape = x.shape
     mv = merge_view(shape)
     if mv is None:
@@ -378,7 +392,8 @@ def apply_norm2_act(x: Array, sx: Array, hx: Array, res: Array, sr: Array,
     (`fused_conv.norm_columns`).
     """
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     shape = x.shape
     mv = merge_view(shape)
     if mv is None:
@@ -396,7 +411,8 @@ def channel_stats(x: Array, *, interpret: bool | None = None) -> Array:
     """Per-channel (sum, sum-sq) `f32 [B, 2, C]` over `[B, *spatial, C]` —
     Pallas dense-merged when possible, jnp otherwise."""
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     shape = x.shape
     c = shape[-1]
     mv = merge_view(shape)
@@ -455,7 +471,8 @@ def fused_instance_norm_act(
     tail, dynunet_block.py:120-125).
     """
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     shape = x.shape
     mv = merge_view(shape)
     if mv is None:

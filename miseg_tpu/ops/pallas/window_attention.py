@@ -20,9 +20,12 @@ TPU-first layout choices (v2, after profiling v1):
     in the inner grid dimension so window-group blocks are fetched once.
 
 Forward is Pallas; backward is a custom VJP that recomputes the attention
-weights with jnp einsums (flash-style recompute — HBM-cheap, and XLA
-fuses it well).  Off-TPU the kernel runs in interpret mode, so tests
-assert exact parity with the jnp reference on CPU.
+weights with jnp einsums.  NOTE: the backward transiently materializes the
+`[BW, H, N, N]` weight/cotangent tensors in HBM (recompute saves only the
+residual, not the backward's working set) — a blocked flash backward is
+future work; the forward-only inference path is where the memory win
+holds.  Off-TPU the kernel runs in interpret mode, so tests assert exact
+parity with the jnp reference on CPU.
 """
 
 from __future__ import annotations
@@ -90,6 +93,10 @@ def _pallas_forward(q, k, v, bias, ids, *, num_heads: int, interpret: bool):
     qh, kh, vh = split(q), split(k), split(v)
     nw = ids.shape[0] if ids is not None else bw
     w = _pick_windows(nw, n)
+    if bw % w:
+        # grid flooring would leave trailing windows unwritten
+        raise ValueError(f"window batch {bw} not a multiple of the mask's "
+                         f"window count {nw} (group size {w})")
     grid = (bw // w, num_heads)
     spec_tok = pl.BlockSpec((w, 1, hd, n), lambda i, h: (i, h, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -192,5 +199,6 @@ def fused_window_attention(q: Array, k: Array, v: Array, bias: Array,
                          "(see ops.window.window_region_ids), "
                          f"got mask shape {mask.shape}")
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     return _fwa(q, k, v, bias, mask, num_heads, interpret)
