@@ -6,15 +6,18 @@ exposes via its `instance_nvfuser` factory (networks/layers/factories.py:
 parameter bank) instance norm that is MI-Seg's scientific core
 (networks/norms/conditional_instance_norm.py:27-107).
 
-Why this beats XLA here (measured, v5e): the C-Swin-UNETR full-resolution
-norm fusions are the single hottest ops in the profile — XLA reduces a
-`[1,96,96,96,48]` tensor to per-channel stats at ~20x off the HBM roofline
-because the 48-channel minor dim forces lane-padded layouts and transposing
-reductions.  This kernel instead views the tensor as `[B, R, M]` with
-`M = C * (trailing spatial dims)` chosen so `M % 128 == 0`: every block is
-lane-dense, the stats pass streams at full bandwidth, and the apply pass is
-a single fused multiply-add (+ optional leaky-relu + optional residual add)
-— the patterns XLA refuses to emit for this reduction shape.
+Design: the tensor is viewed as `[B, R, M]` with `M = C * (trailing
+spatial dims)` chosen so `M % 128 == 0` — every block is lane-dense, the
+stats pass streams at full HBM bandwidth, and the apply pass is a single
+fused multiply-add (+ optional leaky-relu + optional residual add).
+
+Measured verdict (v5e, BASELINE.md round-2 table): the kernel is
+bandwidth-optimal in isolation but LOSES end-to-end — XLA fuses each
+norm's apply with the next norm's stats and keeps everything in the conv
+chain's layouts, while this kernel forces default layouts at its
+boundaries.  It stays OPT-IN (`MISEG_PALLAS_NORM`), hardware-certified
+(`scripts/tpu_parity.py`), and is the backing implementation for the
+fused-conv chain's column applies, where the layout argument differs.
 
 Pass structure per call (x viewed `[B, R, M]`):
   1. stats kernel: grid-(B, R/TR) accumulation of per-column sum / sum-sq
