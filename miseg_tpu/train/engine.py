@@ -170,7 +170,15 @@ class Trainer:
     # --------------------------------------------------------- train step
 
     def _build_train_step(self):
-        def step_fn(state: TrainState, image, label, modality, rng):
+        seed = self.cfg.seed + 1
+
+        def step_fn(state: TrainState, image, label, modality, step_idx):
+            # dropout rng derived IN-JIT from the host step counter — a
+            # host-side fold_in would be one more eager dispatch per step
+            # (expensive on tunneled backends), and int(state.step) would
+            # force a device sync
+            rng = jax.random.fold_in(jax.random.key(seed), step_idx)
+
             def loss_of(params):
                 logits, new_vars = self.apply_fn(
                     params, image, modality, train=True, rng=rng,
@@ -192,19 +200,25 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
             self._host_step = 0
-        b = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
-                         if k in ("image", "label", "modality")}, self.mesh)
+        if self.mesh.devices.size > 1:
+            b = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
+                             if k in ("image", "label", "modality")}, self.mesh)
+        else:
+            # single device: hand numpy straight to the jitted call — the
+            # transfer happens inside ONE dispatch instead of one eager
+            # device_put per array
+            b = {k: np.asarray(v) for k, v in batch.items()
+                 if k in ("image", "label", "modality")}
         label = b["label"]
         if label.ndim == 5 and label.shape[-1] == 1:
             label = label[..., 0]
-        # host-side step counter for the dropout rng: int(state.step) would
-        # force a device sync + transfer every step
-        rng = jax.random.fold_in(jax.random.key(self.cfg.seed + 1),
-                                 self._host_step)
+        step_idx = np.int32(self._host_step)  # array, not a static python int
         self._host_step += 1
         state, loss = self._train_step(state, b["image"],
-                                       label.astype(jnp.int32),
-                                       b.get("modality"), rng)
+                                       np.asarray(label, np.int32)
+                                       if isinstance(label, np.ndarray)
+                                       else label.astype(jnp.int32),
+                                       b.get("modality"), step_idx)
         return state, loss
 
     # --------------------------------------------------------------- eval
