@@ -89,3 +89,40 @@ def test_fused_plan_rejects_unsupported(flag_conv, rng):
                        norm=("instance", {}))
     v = blk.init({"params": jax.random.key(0)}, x, None)
     assert blk.apply(v, x, None).shape == (1, 4, 4, 4, 8)
+
+
+def test_fused_block_under_remat(flag_conv, rng):
+    """custom_vjp fused kernels compose with nn.remat (use_checkpoint) —
+    gradient checkpointing re-runs the Pallas forward in the backward."""
+    import flax.linen as nn
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 4)), jnp.float32)
+    mods = jnp.asarray([0], jnp.int32)
+
+    def make_loss(use_remat, on):
+        cls = (nn.remat(UnetResBlock, static_argnums=())
+               if use_remat else UnetResBlock)
+        block = cls(out_channels=8, kernel_size=3, stride=1,
+                    norm=("instance_cond", {"num_styles": 2}))
+
+        def loss(params):
+            flag_conv(on)
+            y = block.apply({"params": params}, x, mods)
+            return jnp.sum(jnp.sin(y))
+        return block, loss
+
+    flag_conv(False)
+    plain_block, _ = make_loss(False, False)
+    variables = plain_block.init({"params": jax.random.key(0)}, x, mods)
+
+    grads = {}
+    for use_remat in (False, True):
+        for on in (False, True):
+            _, loss = make_loss(use_remat, on)
+            grads[(use_remat, on)] = jax.grad(loss)(variables["params"])
+    from jax.flatten_util import ravel_pytree
+    base, _ = ravel_pytree(grads[(False, False)])
+    for key, g in grads.items():
+        flat, _ = ravel_pytree(g)
+        assert np.allclose(np.asarray(flat), np.asarray(base),
+                           atol=2e-3, rtol=2e-3), key
