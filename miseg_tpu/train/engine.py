@@ -45,8 +45,8 @@ from ..models import model_from_config
 from ..parallel import make_mesh, replicated_sharding, shard_batch
 from ..utils.logging import MetricLogger
 from .checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
-from .optim import (current_learning_rate, optimizer_from_config,
-                    set_learning_rate)
+from .optim import (current_learning_rate, make_accumulation_flush,
+                    optimizer_from_config, set_learning_rate)
 from .schedules import scheduler_from_config
 
 
@@ -97,6 +97,7 @@ class Trainer:
         self.compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
         self.tx = None
         self._train_step = None
+        self._flush_step = None
         self._eval_loss = None
         self._inferer = None
 
@@ -220,6 +221,22 @@ class Trainer:
                                        else label.astype(jnp.int32),
                                        b.get("modality"), step_idx)
         return state, loss
+
+    def flush_accumulation(self, state: TrainState) -> TrainState:
+        """Apply a partial gradient-accumulation window at epoch end,
+        matching the reference's `or idx+1 == len(loader)` step boundary
+        (utils/trainer.py:33).  No-op unless accumulation is active and the
+        window is mid-fill; the mini_step fetch is one host sync per epoch."""
+        if self.cfg.iters_to_accumulate <= 1 or self.tx is None:
+            return state
+        if int(jax.device_get(state.opt_state.mini_step)) == 0:
+            return state
+        if self._flush_step is None:
+            flush = make_accumulation_flush(self.tx,
+                                            self.cfg.iters_to_accumulate)
+            self._flush_step = jax.jit(flush, donate_argnums=(0, 1))
+        params, opt_state = self._flush_step(state.params, state.opt_state)
+        return state.replace(params=params, opt_state=opt_state)
 
     # --------------------------------------------------------------- eval
 
@@ -376,6 +393,7 @@ class Trainer:
                 for batch in train_loader:
                     state, loss = self.train_step(state, batch)
                     epoch_losses.append(loss)
+            state = self.flush_accumulation(state)
             train_loss = float(np.mean([float(l) for l in epoch_losses])) \
                 if epoch_losses else float("nan")
             self.logger.log({"train/loss": train_loss,

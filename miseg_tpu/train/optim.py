@@ -80,6 +80,46 @@ def optimizer_from_config(cfg, params=None, encoder_prefixes: Sequence[str] = ()
     return tx
 
 
+def make_accumulation_flush(tx, k: int):
+    """Jittable flush of a partial `optax.MultiSteps` window.
+
+    Reference parity: the raw loop steps on `(idx+1) % k == 0` OR the last
+    batch of the loader (utils/trainer.py:33-52), with every micro-loss
+    pre-scaled by 1/k — so a tail window of m < k micro-batches applies
+    sum_m(grad)/k = mean_m(grad) * m/k.  `optax.MultiSteps` alone only steps
+    every k, silently carrying the tail into the next epoch (and under the
+    next epoch's learning rate); calling the returned `flush(params,
+    opt_state)` at epoch end reproduces the reference's step boundary.
+
+    Only call when `opt_state.mini_step > 0` (a zero-grad inner update would
+    still advance stateful optimizers like Adam).  Returns None when `tx`
+    is not a MultiSteps wrapper.
+    """
+    import jax.numpy as jnp
+
+    if not isinstance(tx, optax.MultiSteps):
+        return None
+    inner = tx.inner_opt
+
+    def flush(params, opt_state):
+        m = opt_state.mini_step  # acc_grads holds the running MEAN over m
+        scale = m.astype(jnp.float32) / float(k)
+        scaled = jax.tree.map(lambda g: (g * scale).astype(g.dtype),
+                              opt_state.acc_grads)
+        updates, new_inner = inner.update(scaled, opt_state.inner_opt_state,
+                                          params)
+        new_params = optax.apply_updates(params, updates)
+        new_state = optax.MultiStepsState(
+            mini_step=jnp.zeros_like(opt_state.mini_step),
+            gradient_step=opt_state.gradient_step + 1,
+            inner_opt_state=new_inner,
+            acc_grads=jax.tree.map(jnp.zeros_like, opt_state.acc_grads),
+            skip_state=opt_state.skip_state)
+        return new_params, new_state
+
+    return flush
+
+
 def set_learning_rate(opt_state, lr: float):
     """Write a new lr into an inject_hyperparams state (MultiSteps-aware)."""
     import jax.numpy as jnp

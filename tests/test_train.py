@@ -84,6 +84,85 @@ def test_optimizer_accumulation():
     assert np.asarray(up2["w"])[0] == pytest.approx(-2.0)
 
 
+def test_accumulation_tail_flush_matches_reference_loop():
+    """n_batches % k != 0: micro-loop + epoch-end flush must equal the
+    reference's raw loop, which steps on (idx+1)%k==0 OR the last batch
+    with every micro-loss scaled by 1/k (utils/trainer.py:33-52)."""
+    import jax.numpy as jnp
+
+    from miseg_tpu.train.optim import (make_accumulation_flush,
+                                       optimizer_from_config)
+    k, n = 3, 7
+    rng = np.random.default_rng(3)
+    grads = [{"w": jnp.asarray(rng.normal(size=4), jnp.float32)}
+             for _ in range(n)]
+    params0 = {"w": jnp.asarray(rng.normal(size=4), jnp.float32)}
+
+    # ours: MultiSteps micro-steps + tail flush
+    cfg = Config(optim_name="adam", lr=1e-2, reg_weight=0.0,
+                 iters_to_accumulate=k)
+    tx = optimizer_from_config(cfg, params0)
+    st = tx.init(params0)
+    params = params0
+    for g in grads:
+        up, st = tx.update(g, st, params)
+        params = optax_apply(params, up)
+    assert int(st.mini_step) == n % k
+    flush = make_accumulation_flush(tx, k)
+    params, st = flush(params, st)
+    assert int(st.mini_step) == 0
+    assert int(st.gradient_step) == -(-n // k)  # ceil(n/k) applied steps
+
+    # reference loop: accumulate sum(grad/k), step at k-boundary or last
+    cfg1 = Config(optim_name="adam", lr=1e-2, reg_weight=0.0,
+                  iters_to_accumulate=1)
+    inner = optimizer_from_config(cfg1, params0)
+    ist = inner.init(params0)
+    ref = params0
+    acc = {"w": jnp.zeros(4)}
+    for i, g in enumerate(grads):
+        acc = {"w": acc["w"] + g["w"] / k}
+        if (i + 1) % k == 0 or i + 1 == n:
+            up, ist = inner.update(acc, ist, ref)
+            ref = optax_apply(ref, up)
+            acc = {"w": jnp.zeros(4)}
+    np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(ref["w"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def optax_apply(params, updates):
+    import optax
+    return optax.apply_updates(params, updates)
+
+
+def test_fit_flushes_accumulation_tail(tmp_path):
+    """An epoch whose batch count isn't a multiple of k must end with an
+    applied step and an empty window (no carry into the next epoch's LR)."""
+    import jax
+
+    from miseg_tpu.data.multi_modal import MultiModalData
+    from miseg_tpu.data.synthetic import make_synthetic_dataset
+    from miseg_tpu.train.engine import Trainer
+    make_synthetic_dataset(tmp_path, shape=(24, 24, 24), num_classes=2,
+                           n_train=3, n_val=1)
+    cfg = Config(model_name="unet", roi_x=16, roi_y=16, roi_z=16,
+                 out_channels=2, feature_size=[2], num_layers=2, strides=[2],
+                 num_res_units=0, encoder_norm_name="instance",
+                 decoder_norm_name="instance", criterion="dice_ce",
+                 data_dirs=[str(tmp_path)], json_lists=["CT.json"],
+                 max_epochs=1, check_val_every_n_epoch=5, batch_size=1,
+                 patches_training_sample=1, iters_to_accumulate=2,
+                 scheduler="none", cache_num=0, use_normal_dataset=True,
+                 num_workers=0, no_amp=True, precision="fp32",
+                 default_root_dir=str(tmp_path / "exp"))
+    trainer = Trainer(cfg, workdir=str(tmp_path / "exp"))
+    state = trainer.fit(MultiModalData(cfg))
+    assert int(state.step) == 3            # 3 micro-batches
+    ms = state.opt_state
+    assert int(jax.device_get(ms.mini_step)) == 0         # window flushed
+    assert int(jax.device_get(ms.gradient_step)) == 2     # ceil(3/2)
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     import jax.numpy as jnp
 
