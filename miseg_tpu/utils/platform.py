@@ -27,12 +27,43 @@ def force_cpu_devices(n: int = 8) -> None:
         pass
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of this host's CPU feature set + arch.
+
+    XLA:CPU AOT-compiles to the host's exact CPU features; reusing a
+    persistent cache entry on a machine with a different feature set logs
+    feature-mismatch warnings and risks SIGILL.  Scoping the cache dir by
+    this fingerprint keeps each machine type's entries separate (the TPU
+    bench host keeps its warm cache; a different driver host cold-compiles
+    instead of replaying foreign AOT code)."""
+    import hashlib
+    import platform as _plat
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    key = f"{_plat.machine()}|{feats}"
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Persistent XLA compilation cache (remote-compile TPU paths are slow;
-    the cache makes second runs of bench/train start in seconds)."""
+    the cache makes second runs of bench/train start in seconds).
+
+    Set MISEG_NO_COMPILE_CACHE=1 to skip entirely (used by the multi-chip
+    dry run, where CPU compiles are fast and cache reuse across machine
+    types is the only risk)."""
     import jax
-    cache_dir = path or os.environ.get("MISEG_COMPILE_CACHE",
-                                       os.path.expanduser("~/.cache/miseg_jax"))
+    if os.environ.get("MISEG_NO_COMPILE_CACHE"):
+        return
+    base = path or os.environ.get("MISEG_COMPILE_CACHE",
+                                  os.path.expanduser("~/.cache/miseg_jax"))
+    cache_dir = os.path.join(base, _machine_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
