@@ -112,6 +112,10 @@ td.best { font-weight: 600; }
 <script>
 const NS = "http://www.w3.org/2000/svg";
 const tip = document.getElementById("tip");
+// journal content (param values, study name) is untrusted — escape
+// before any innerHTML interpolation (stored-XSS guard)
+const esc = s => String(s).replace(/[&<>"']/g, ch => (
+  {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;"}[ch]));
 function el(p, n, at) { const e = document.createElementNS(NS, n);
   for (const k in at) e.setAttribute(k, at[k]); p.appendChild(e); return e; }
 function hover(e, text) {
@@ -155,8 +159,8 @@ function render(r) {
               ["running", states.running || 0],
               ["best", r.best ? r.best.value.toPrecision(5) : "—"]];
   document.getElementById("kpis").innerHTML = kp.map(
-    ([l, v]) => `<div class="tile"><div class="v">${v}</div>` +
-                `<div class="l">${l}</div></div>`).join("");
+    ([l, v]) => `<div class="tile"><div class="v">${esc(v)}</div>` +
+                `<div class="l">${esc(l)}</div></div>`).join("");
 
   const done = r.trials.filter(t => t.value != null);
   const hist = document.getElementById("hist"); hist.innerHTML = "";
@@ -217,7 +221,7 @@ function render(r) {
         ([k, x]) => k + "=" + (typeof x === "number" ? x.toPrecision(4) : x))
         .join(", ");
       const cls = (t.number === bestNo && c === "value") ? " class=best" : "";
-      return "<td" + cls + ">" + v + "</td>";
+      return "<td" + cls + ">" + esc(v) + "</td>";
     }).join("") + "</tr>").join("");
 }
 async function tick() {

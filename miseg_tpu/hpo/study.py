@@ -105,28 +105,42 @@ class JournalStorage:
 
 class Study:
     def __init__(self, study_name: str = "study", storage: str | None = None,
-                 sampler=None, pruner=None, direction: str = "maximize",
+                 sampler=None, pruner=None, direction: str | None = None,
                  load_if_exists: bool = True):
         self.study_name = study_name
-        self.direction = direction
+        requested = direction  # None = caller adopts whatever the journal says
+        self.direction = direction or "maximize"
         self.sampler = sampler or TPESampler()
         self.pruner = pruner or NopPruner()
         self.storage = JournalStorage(storage)
         self.trials: list[Trial] = []
         self._direction_recorded = False
+        records = self.storage.replay()
         if load_if_exists:
-            self._restore()
-        if not self._direction_recorded:
+            self._restore(records)
+        if (requested is not None and self._direction_recorded
+                and self.direction != requested):
+            # journal wins (it IS the study being resumed), but never
+            # silently: optuna raises/warns on a direction conflict too
+            import warnings
+            warnings.warn(
+                f"study journal direction {self.direction!r} overrides the "
+                f"requested {requested!r} (resuming the existing study)",
+                stacklevel=3)
+        if not self._direction_recorded and not records:
             # persist direction so journal READERS (dashboard, a resuming
-            # study opened with the default) adopt the creator's direction
+            # study opened with the default) adopt the creator's direction.
+            # Only on a NEW journal: appending an opener's direction to a
+            # pre-'study'-record journal would record a guess as truth.
             self.storage.record({"op": "study", "direction": self.direction})
+            self._direction_recorded = True
 
     def _norm(self, v: float) -> float:
         return v if self.direction == "maximize" else -v
 
-    def _restore(self) -> None:
+    def _restore(self, records: list[dict]) -> None:
         by_num: dict[int, Trial] = {}
-        for rec in self.storage.replay():
+        for rec in records:
             n = rec.get("trial")
             if rec["op"] == "study":
                 self.direction = rec.get("direction", self.direction)
@@ -193,7 +207,7 @@ class Study:
 
 
 def create_study(*, study_name: str = "study", storage: str | None = None,
-                 sampler=None, pruner=None, direction: str = "maximize",
+                 sampler=None, pruner=None, direction: str | None = None,
                  load_if_exists: bool = True) -> Study:
     return Study(study_name=study_name, storage=storage, sampler=sampler,
                  pruner=pruner, direction=direction,

@@ -67,14 +67,20 @@ def get_act(spec: str | tuple[str, dict[str, Any]] | None, module_name: str | No
 
 
 def leaky_slope(spec: str | tuple[str, dict[str, Any]] | None) -> float | None:
-    """negative_slope if `spec` is a leaky-relu, else None — used to fuse
-    the activation into the preceding norm kernel."""
+    """negative_slope if `spec` is a leaky-relu with slope > 0, else None —
+    used to fuse the activation into the preceding norm kernel.
+
+    slope <= 0 is rejected (falls back to the unfused activation): the
+    fused backward recovers the activation gate from sign(y), which is
+    ambiguous at slope == 0 (negative pre-activations give y == 0 and
+    would wrongly pass gradient through)."""
     if spec is None:
         return None
     name, kwargs = (spec, {}) if isinstance(spec, str) else spec
     if name.lower() != "leakyrelu":
         return None
-    return float(kwargs.get("negative_slope", 0.01))
+    slope = float(kwargs.get("negative_slope", 0.01))
+    return slope if slope > 0.0 else None
 
 
 def get_norm_spec(norm_name: str | None, **kwargs) -> tuple[str, dict[str, Any]] | None:

@@ -4,14 +4,13 @@ Reference parity: `PatchEmbeddingBlock`
 (networks/blocks/patch_embedding.py:32-125) — conv (strided conv then
 flatten) or perceptron (space-to-patch rearrange then Linear) patchify,
 learned `[1, n_patches, hidden]` position embedding, trunc-normal init.
-`pos_embed_type="sincos"` extends the surface with the fixed 1D
+`pos_embed_type="sincos"` extends the surface with the fixed per-axis
 sine-cosine table MONAI's later PatchEmbeddingBlock offers (absent from
 the pinned reference, kept for upstream-checkpoint compatibility).
 """
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -19,6 +18,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.init import trunc_normal
+
+
+def build_sincos_position_embedding(grid_size: Sequence[int], embed_dim: int,
+                                    temperature: float = 10000.0) -> np.ndarray:
+    """MONAI `build_sincos_position_embedding` parity: per-axis sin/cos
+    frequency tables over `embed_dim // (2·ndim)` frequencies, concatenated
+    [sin(ax0), cos(ax0), sin(ax1), ...] along the channel dim; upstream
+    registers the result with requires_grad=False (frozen)."""
+    nd = len(grid_size)
+    if embed_dim % (2 * nd):
+        raise ValueError(
+            f"embed_dim must be divisible by {2 * nd} for {nd}D sincos "
+            f"position embedding, got {embed_dim}")
+    pos_dim = embed_dim // (2 * nd)
+    omega = 1.0 / (temperature ** (np.arange(pos_dim,
+                                             dtype=np.float32) / pos_dim))
+    grids = np.meshgrid(*[np.arange(g, dtype=np.float32) for g in grid_size],
+                        indexing="ij")
+    parts = []
+    for g in grids:
+        out = g.reshape(-1)[:, None] * omega[None]
+        parts += [np.sin(out), np.cos(out)]
+    return np.concatenate(parts, axis=1)[None].astype(np.float32)
 
 
 class PatchEmbeddingBlock(nn.Module):
@@ -68,19 +90,14 @@ class PatchEmbeddingBlock(nn.Module):
             raise ValueError(f"unsupported pos_embed {self.pos_embed!r}")
 
         if self.pos_embed_type == "sincos":
-            # fixed 1D sine-cosine table over the flattened patch index
-            # (still a parameter for checkpoint-shape parity, init = table)
-            def sincos_init(key, shape, dtype=jnp.float32):
-                _, n, h = shape
-                pos_i = np.arange(n)[:, None]
-                div = np.exp(np.arange(0, h, 2) * (-math.log(10000.0) / h))
-                tab = np.zeros((n, h), np.float32)
-                tab[:, 0::2] = np.sin(pos_i * div)
-                tab[:, 1::2] = np.cos(pos_i * div[:h // 2])
-                return jnp.asarray(tab[None], dtype)
-
-            pos = self.param("position_embeddings", sincos_init,
-                             (1, n_patches, self.hidden_size))
+            # frozen table (MONAI registers it requires_grad=False) — a
+            # plain constant, NOT a parameter: a trainable table would
+            # drift during training and adamw decay would shrink even a
+            # zero-grad one.  Deterministic, so torch checkpoints need no
+            # import for it.
+            grid = [m // p for m, p in zip(self.img_size, self.patch_size)]
+            pos = jnp.asarray(
+                build_sincos_position_embedding(grid, self.hidden_size))
         elif self.pos_embed_type == "learnable":
             pos = self.param("position_embeddings", trunc_normal(0.02),
                              (1, n_patches, self.hidden_size))

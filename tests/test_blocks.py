@@ -182,14 +182,34 @@ def test_patch_embedding_pos_embed_types(rng):
     outs = {}
     for kind in ("learnable", "sincos", "none"):
         blk = PatchEmbeddingBlock(img_size=(16,) * 3, patch_size=(8,) * 3,
-                                  hidden_size=32, num_heads=4,
+                                  hidden_size=36, num_heads=4,
                                   pos_embed_type=kind)
         v = blk.init({"params": jax.random.key(0)}, x)
         outs[kind] = np.asarray(blk.apply(v, x))
-        assert outs[kind].shape == (1, 8, 32)
-        if kind != "none":
-            assert v["params"]["position_embeddings"].shape == (1, 8, 32)
-    # sincos table: row 0 alternates sin(0)=0 / cos(0)=1 offsets vs none
+        assert outs[kind].shape == (1, 8, 36)
+        if kind == "learnable":
+            assert v["params"]["position_embeddings"].shape == (1, 8, 36)
+        else:  # sincos is FROZEN (MONAI requires_grad=False) → no param
+            assert "position_embeddings" not in v["params"]
+    # sincos patch 0 sits at grid (0,0,0): per-axis blocks of sin(0)=0 then
+    # cos(0)=1 (MONAI per-axis layout, pos_dim = 36 // 6 = 6)
     delta = outs["sincos"][0, 0] - outs["none"][0, 0]
-    assert np.allclose(delta[0::2][0], 0.0, atol=1e-6)
-    assert np.allclose(delta[1::2][0], 1.0, atol=1e-6)
+    expect = np.tile(np.r_[np.zeros(6), np.ones(6)], 3)
+    np.testing.assert_allclose(delta, expect, atol=1e-5)
+
+
+def test_sincos_table_matches_per_axis_construction():
+    """build_sincos_position_embedding: frequency layout and axis order."""
+    from miseg_tpu.nn.patch_embedding import build_sincos_position_embedding
+    tab = build_sincos_position_embedding((2, 3, 4), 12)
+    assert tab.shape == (1, 24, 12)
+    # pos_dim=2, omega=[1, 1e-2]; patch index (i,j,k) flattened C-order
+    i, j, k = 1, 2, 3
+    row = tab[0, (i * 3 + j) * 4 + k]
+    om = 1.0 / (10000.0 ** (np.arange(2) / 2))
+    expect = np.r_[np.sin(i * om), np.cos(i * om), np.sin(j * om),
+                   np.cos(j * om), np.sin(k * om), np.cos(k * om)]
+    np.testing.assert_allclose(row, expect, rtol=1e-6)
+    import pytest
+    with pytest.raises(ValueError):
+        build_sincos_position_embedding((2, 2, 2), 32)  # 32 % 6 != 0
