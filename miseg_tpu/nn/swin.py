@@ -164,8 +164,15 @@ class SwinTransformerBlock(nn.Module):
         else:
             attn_mask = None
         windows = window_partition(x, window_size)
+        # the attention is built with the CONFIGURED window size, not the
+        # runtime-clipped one: the reference sizes the bias table for the
+        # full window always and indexes rel_pos_index[:n, :n] when the
+        # resolution clips the window (window_attention.py:105-107) — the
+        # first-n-positions subset quirk, reproduced here so bottleneck
+        # stages (e.g. 6³ windows at 96³ input) match numerically and
+        # checkpoints are shape-compatible.
         attn_windows = WindowAttention(
-            num_heads=self.num_heads, window_size=tuple(window_size),
+            num_heads=self.num_heads, window_size=tuple(self.window_size),
             qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
             proj_drop=self.drop, name="attn")(windows, attn_mask, train=train)
         x = window_reverse(attn_windows, window_size, (x.shape[0], *padded))
