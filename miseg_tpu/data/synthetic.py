@@ -17,20 +17,32 @@ import numpy as np
 from .nifti import save_nifti
 
 
-def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int):
-    """Image with class-dependent blobs; MR gets a different intensity law."""
+def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
+            mr_style: str = "legacy"):
+    """Image with class-dependent blobs; MR gets a different intensity law.
+
+    `mr_style="inverted"` makes the modality gap REAL (for the
+    conditional-norm capability ablation): MR volumes get inverted
+    contrast (bright background, blobs darker, class order reversed) and
+    3× the noise — a single shared normalization must serve two opposite
+    feature polarities, which is exactly the regime per-modality norm
+    banks exist for (conditional_instance_norm.py:27-60)."""
     zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
                              indexing="ij")
     label = np.zeros(shape, np.int16)
-    img = rng.normal(0.0, 0.05, shape).astype(np.float32)
+    inverted = modality == 1 and mr_style == "inverted"
+    sigma = 0.15 if inverted else 0.05
+    img = rng.normal(0.9 if inverted else 0.0, sigma, shape).astype(np.float32)
     for c in range(1, num_classes):
         center = rng.uniform(-0.5, 0.5, 3)
         radius = rng.uniform(0.15, 0.35)
         blob = ((zz - center[0]) ** 2 + (yy - center[1]) ** 2
                 + (xx - center[2]) ** 2) < radius ** 2
         label[blob] = c
-        intensity = 0.3 + 0.1 * c if modality == 0 else 1.0 - 0.1 * c
-        img[blob] += intensity
+        if inverted:
+            img[blob] -= 0.25 + 0.12 * c  # darker than background, reversed
+        else:
+            img[blob] += 0.3 + 0.1 * c if modality == 0 else 1.0 - 0.1 * c
     img = img * 400 + (-100 if modality == 0 else 50)  # HU-ish vs MR-ish
     return img.astype(np.float32), label
 
@@ -38,7 +50,8 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int):
 def make_synthetic_dataset(root: str | Path, *, n_train: int = 2, n_val: int = 1,
                            n_test: int = 1, shape=(48, 48, 48),
                            num_classes: int = 4, modalities=(0, 1),
-                           spacing=(1.5, 1.5, 1.5), seed: int = 0) -> list[str]:
+                           spacing=(1.5, 1.5, 1.5), seed: int = 0,
+                           mr_style: str = "legacy") -> list[str]:
     """Create volumes + per-modality JSONs; returns the JSON paths."""
     root = Path(root)
     jsons = []
@@ -55,7 +68,8 @@ def make_synthetic_dataset(root: str | Path, *, n_train: int = 2, n_val: int = 1
         for split, n in splits.items():
             for _ in range(n):
                 idx += 1
-                img, lab = _volume(rng, shape, num_classes, modality)
+                img, lab = _volume(rng, shape, num_classes, modality,
+                                   mr_style=mr_style)
                 ipath = sub / f"{name.lower()}_train_{idx}_image.nii.gz"
                 lpath = sub / f"{name.lower()}_train_{idx}_label.nii.gz"
                 save_nifti(ipath, img, affine)

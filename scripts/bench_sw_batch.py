@@ -25,7 +25,20 @@ def main() -> None:
     p.add_argument("--sizes", default="1,2,4")
     p.add_argument("--reps", type=int, default=6)
     p.add_argument("--fs", type=int, default=48)
+    p.add_argument("--batch-windows", action="store_true",
+                   help="TRUE window batching (round-2: 2.2x slower under "
+                        "XLA, norm-stats fusion failure at batch>=2)")
+    p.add_argument("--pallas-norm", action="store_true",
+                   help="supply full-res norms from the Pallas fused_norm "
+                        "kernel (VERDICT r2 #3: the one regime where it "
+                        "isn't handicapped by XLA cross-op fusion)")
     args = p.parse_args()
+
+    import os
+    if args.pallas_norm:
+        os.environ["MISEG_PALLAS_NORM"] = "1"
+        from miseg_tpu.ops import dispatch
+        dispatch.clear_cache()
 
     import jax
     import jax.numpy as jnp
@@ -67,7 +80,8 @@ def main() -> None:
     for bs in [int(s) for s in args.sizes.split(",")]:
         inferer = SlidingWindowInferer(predict, roi_size=roi, sw_batch_size=bs,
                                        overlap=0.5, mode="gaussian",
-                                       out_channels=6)
+                                       out_channels=6,
+                                       batch_windows=args.batch_windows)
 
         def run_n(n):
             t0 = time.perf_counter()
