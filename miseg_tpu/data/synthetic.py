@@ -21,16 +21,23 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
             mr_style: str = "legacy"):
     """Image with class-dependent blobs; MR gets a different intensity law.
 
-    `mr_style="inverted"` makes the modality gap REAL (for the
-    conditional-norm capability ablation): MR volumes get inverted
-    contrast (bright background, blobs darker, class order reversed) and
-    3× the noise — a single shared normalization must serve two opposite
-    feature polarities, which is exactly the regime per-modality norm
-    banks exist for (conditional_instance_norm.py:27-60)."""
+    Gap styles for the conditional-norm capability ablation:
+      * `"inverted"` — MR gets inverted contrast (bright background,
+        darker blobs) and 3× noise.  Measured round 3: NOT sufficient —
+        shared convs absorb a polarity flip (cond 0.346 vs plain 0.350
+        dice @16ep), see BASELINE.md.
+      * `"classswap"` — MR uses the SAME intensity law as CT but with the
+        class→intensity ranking reversed: one appearance means different
+        classes in different modalities, so an unconditioned shared net
+        faces an ambiguous mapping it cannot resolve, while per-modality
+        norm banks (conditional_instance_norm.py:27-60) — or separate
+        models — can.  This is the regime the paper's conditioning
+        targets (fat/water-style contrast reversals)."""
     zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
                              indexing="ij")
     label = np.zeros(shape, np.int16)
     inverted = modality == 1 and mr_style == "inverted"
+    swapped = modality == 1 and mr_style == "classswap"
     sigma = 0.15 if inverted else 0.05
     img = rng.normal(0.9 if inverted else 0.0, sigma, shape).astype(np.float32)
     for c in range(1, num_classes):
@@ -41,6 +48,8 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
         label[blob] = c
         if inverted:
             img[blob] -= 0.25 + 0.12 * c  # darker than background, reversed
+        elif swapped:
+            img[blob] += 0.3 + 0.1 * (num_classes - c)  # reversed class rank
         else:
             img[blob] += 0.3 + 0.1 * c if modality == 0 else 1.0 - 0.1 * c
     img = img * 400 + (-100 if modality == 0 else 50)  # HU-ish vs MR-ish

@@ -73,7 +73,7 @@ def run(root: Path, args) -> dict:
     t0 = time.time()
     out: dict = {"budget_epochs": args.epochs, "roi": args.roi,
                  "volumes_per_modality": args.volumes, "seed": args.seed,
-                 "gap": "mr inverted contrast + 3x noise"}
+                 "gap": args.gap}
 
     print("== arm 1: instance_cond (shared net, per-modality banks)",
           flush=True)
@@ -116,6 +116,12 @@ def main() -> None:
     p.add_argument("--roi", type=int, default=32)
     p.add_argument("--classes", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gap", default="classswap",
+                   choices=["inverted", "classswap"],
+                   help="modality gap style (classswap: same appearance "
+                        "means different classes per modality — round-3 "
+                        "measured 'inverted' alone is absorbable by shared "
+                        "convs)")
     p.add_argument("--out", default="ABLATION.json")
     args = p.parse_args()
 
@@ -127,7 +133,7 @@ def main() -> None:
     make_synthetic_dataset(root, shape=(args.shape,) * 3,
                            num_classes=args.classes, n_train=args.volumes,
                            n_val=args.val_volumes, n_test=1, seed=args.seed,
-                           mr_style="inverted")
+                           mr_style=args.gap)
     print(f"# dataset at {root}", flush=True)
 
     record = run(root, args)
