@@ -26,14 +26,62 @@ statistics are always computed in float32 for stability on TPU.
 
 from __future__ import annotations
 
+import math
+import os
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
 
 
+def _use_matmul_stats() -> bool:
+    env = os.environ.get("MISEG_MATMUL_STATS", "").strip().lower()
+    if env:
+        return env not in ("0", "false", "off")
+    return False  # measured e2e loser on v5e — see _stats_matmul docstring
+
+
+def _stats_matmul(x: Array, eps: float):
+    """Instance-norm stats as MXU matmuls: sum = 1ᵀ·X, sumsq = diag(XᵀX).
+
+    Rationale: the big per-channel stat fusions run at 56–92 GB/s on the
+    lane-padded full-res conv layouts ([96,96,8,13,48]-physical —
+    `scripts/gap_accounting.py`, round 3), ~9 ms/window of the flagship
+    forward; a dot contracts the same elements while streaming at matmul
+    bandwidth, and the extra C× FLOPs of the Gram diagonal are free at
+    C≈48.  MEASURED E2E VERDICT (v5e, round 3): LOSES — 22.0 patches/s /
+    210 ms train vs 25.9 / 165 XLA.  Those "slow" fusions are multi-pass
+    producer+stats+apply structures; extracting the stats into dots adds
+    reads and breaks XLA's fusion instead of replacing passes.  Kept
+    opt-in (MISEG_MATMUL_STATS=1) as a recorded negative, same lesson as
+    the round-2 kernel campaign: wins must remove graph-level traffic,
+    not re-implement single ops.
+    """
+    b, c = x.shape[0], x.shape[-1]
+    s = math.prod(x.shape[1:-1])
+    xf = x.reshape(b, s, c)
+    ones = jnp.ones((s,), xf.dtype)
+    ssum = jnp.einsum("s,bsc->bc", ones, xf,
+                      preferred_element_type=jnp.float32)
+    gram = jnp.einsum("bsc,bsd->bcd", xf, xf,
+                      preferred_element_type=jnp.float32)
+    sumsq = jnp.diagonal(gram, axis1=1, axis2=2)
+    mean = ssum / s
+    var = sumsq / s - jnp.square(mean)
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    return mean.reshape(shape), inv.reshape(shape)
+
+
 def _stats(x: Array, axes, eps: float):
     """Mean/inv-std over `axes` in float32."""
+    axes_n = tuple(sorted(a % x.ndim for a in
+                          (axes if isinstance(axes, (tuple, list)) else (axes,))))
+    if (axes_n == tuple(range(1, x.ndim - 1)) and x.ndim >= 4
+            and math.prod(x.shape[1:-1]) >= (1 << 15)
+            and x.shape[-1] <= 256 and _use_matmul_stats()):
+        return _stats_matmul(x, eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(mean)
