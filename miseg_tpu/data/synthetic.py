@@ -32,7 +32,16 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
         faces an ambiguous mapping it cannot resolve, while per-modality
         norm banks (conditional_instance_norm.py:27-60) — or separate
         models — can.  This is the regime the paper's conditioning
-        targets (fat/water-style contrast reversals)."""
+        targets (fat/water-style contrast reversals).
+
+        Round-3 v1 of this style kept the legacy 0.1-per-class intensity
+        step (2σ of the noise): even separate per-modality models only
+        reached per-class dice 0.2–0.33, so every arm was undertrained
+        and the ambiguity delta was invisible (ABLATION.json classswap-v1
+        NULL).  v2 (current) widens the step to 0.2 (4σ) so the task is
+        easy EXCEPT for the cross-modality ambiguity, and uses an
+        identical raw affine for both modalities so nothing but the
+        label semantics distinguishes them."""
     zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
                              indexing="ij")
     label = np.zeros(shape, np.int16)
@@ -48,11 +57,15 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
         label[blob] = c
         if inverted:
             img[blob] -= 0.25 + 0.12 * c  # darker than background, reversed
-        elif swapped:
-            img[blob] += 0.3 + 0.1 * (num_classes - c)  # reversed class rank
+        elif mr_style == "classswap":
+            rank = (num_classes - c) if swapped else c  # reversed class rank
+            img[blob] += 0.2 + 0.2 * rank  # 4σ steps: separable per modality
         else:
             img[blob] += 0.3 + 0.1 * c if modality == 0 else 1.0 - 0.1 * c
-    img = img * 400 + (-100 if modality == 0 else 50)  # HU-ish vs MR-ish
+    if mr_style == "classswap":
+        img = img * 400 - 100  # identical affine: only label semantics differ
+    else:
+        img = img * 400 + (-100 if modality == 0 else 50)  # HU-ish vs MR-ish
     return img.astype(np.float32), label
 
 

@@ -92,8 +92,12 @@ class WindowAttention(nn.Module):
         index = _rel_pos_index(self.window_size)[:n, :n].reshape(-1)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
-        rel_bias = bias_table[jnp.asarray(index)].reshape(n, n, -1)
-        rel_bias = rel_bias.transpose(2, 0, 1)  # [H, N, N]
+        # Gather with heads MAJOR: a [N², H] gather lane-pads H (e.g. 3)
+        # to the 128-wide tile — ~40× physical write traffic, measured
+        # 17 GB/s (scripts/gap_accounting.py, round 3).  [H, N²] keeps the
+        # long axis lane-minor and streams at full bandwidth.
+        rel_bias = jnp.take(bias_table.T, jnp.asarray(index),
+                            axis=1).reshape(-1, n, n)  # [H, N, N]
 
         # `mask` is region ids `i32 [nW, N]` (window_region_ids) or a legacy
         # additive `[nW, N, N]` tensor; ids keep the shifted-window mask out

@@ -47,7 +47,15 @@ def _machine_fingerprint() -> str:
                     break
     except OSError:
         pass
-    key = f"{_plat.machine()}|{feats}"
+    # Salt with the jaxlib version: AOT code also depends on the compiler
+    # (identical cpuinfo flags still replayed foreign prefer-no-* entries
+    # from an older container — observed 2026-08-17).
+    try:
+        import jaxlib
+        ver = jaxlib.__version__
+    except Exception:
+        ver = "?"
+    key = f"v2|{_plat.machine()}|{ver}|{feats}"
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 

@@ -64,9 +64,12 @@ def train_eval(cfg) -> dict:
     trainer = Trainer(cfg, workdir=cfg.default_root_dir)
     state = trainer.fit(data)
     m = trainer.evaluate(data.val_dataloader(), state)
+    detail = {k: round(float(v), 4) for k, v in m.items()
+              if "_dice/class" in k}  # per-modality per-class signature
     return {"dice_avg": m["val/accuracy/avg"],
             "dice_ct": m.get("val/accuracy/modality_0"),
-            "dice_mr": m.get("val/accuracy/modality_1")}
+            "dice_mr": m.get("val/accuracy/modality_1"),
+            "detail": detail}
 
 
 def run(root: Path, args) -> dict:
@@ -95,6 +98,7 @@ def run(root: Path, args) -> dict:
                           "instance", [f"{name}.json"])
         m = train_eval(cfg)
         per[key] = m["dice_avg"]
+        per[f"detail_{name.lower()}"] = m["detail"]
         print(f"  {name}: {m['dice_avg']:.4f}", flush=True)
     per["dice_avg"] = (per["dice_ct"] + per["dice_mr"]) / 2
     out["per_modality"] = per
