@@ -38,20 +38,41 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
         step (2σ of the noise): even separate per-modality models only
         reached per-class dice 0.2–0.33, so every arm was undertrained
         and the ambiguity delta was invisible (ABLATION.json classswap-v1
-        NULL).  v2 (current) widens the step to 0.2 (4σ) so the task is
-        easy EXCEPT for the cross-modality ambiguity, and uses an
-        identical raw affine for both modalities so nothing but the
-        label semantics distinguishes them."""
+        NULL).  v2 widens the step to 0.2 (4σ) so the task is easy
+        EXCEPT for the cross-modality ambiguity, and uses an identical
+        raw affine for both modalities so nothing but the label
+        semantics distinguishes them.  v2 ALSO nulled — its rank
+        reversal has a fixed point (middle class unswapped) and blobs
+        overlap additively, blurring intensity→class within a modality.
+      * `"derangement"` (v3) — every foreground class's intensity rank
+        is cyclically shifted in MR (c → c%n_fg + 1: no fixed points),
+        blobs are rejection-sampled to be disjoint so intensity↔class
+        is a bijection within each modality, and the raw affine is
+        identical across modalities.  A modality-blind net faces an
+        irreducible relabeling ambiguity on EVERY foreground voxel;
+        per-modality norm banks (conditional_instance_norm.py:27-60) or
+        separate models resolve it."""
     zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, s) for s in shape],
                              indexing="ij")
     label = np.zeros(shape, np.int16)
     inverted = modality == 1 and mr_style == "inverted"
-    swapped = modality == 1 and mr_style == "classswap"
+    swapped = modality == 1 and mr_style in ("classswap", "derangement")
     sigma = 0.15 if inverted else 0.05
     img = rng.normal(0.9 if inverted else 0.0, sigma, shape).astype(np.float32)
+    placed: list[tuple[np.ndarray, float]] = []  # (center, radius) of placed blobs
     for c in range(1, num_classes):
         center = rng.uniform(-0.5, 0.5, 3)
         radius = rng.uniform(0.15, 0.35)
+        if mr_style == "derangement":
+            # Disjoint blobs: intensity↔class must be a bijection within a
+            # modality, so the ONLY ambiguity is the cross-modality relabel.
+            for _ in range(100):
+                if all(np.linalg.norm(center - pc) > radius + pr + 0.05
+                       for pc, pr in placed):
+                    break
+                center = rng.uniform(-0.6, 0.6, 3)
+                radius = rng.uniform(0.12, 0.22)
+            placed.append((center, radius))
         blob = ((zz - center[0]) ** 2 + (yy - center[1]) ** 2
                 + (xx - center[2]) ** 2) < radius ** 2
         label[blob] = c
@@ -60,9 +81,13 @@ def _volume(rng: np.random.Generator, shape, num_classes: int, modality: int,
         elif mr_style == "classswap":
             rank = (num_classes - c) if swapped else c  # reversed class rank
             img[blob] += 0.2 + 0.2 * rank  # 4σ steps: separable per modality
+        elif mr_style == "derangement":
+            n_fg = num_classes - 1
+            rank = (c % n_fg) + 1 if swapped else c  # cyclic: no fixed point
+            img[blob] = rng.normal(0.2 + 0.2 * rank, sigma, img[blob].shape)
         else:
             img[blob] += 0.3 + 0.1 * c if modality == 0 else 1.0 - 0.1 * c
-    if mr_style == "classswap":
+    if mr_style in ("classswap", "derangement"):
         img = img * 400 - 100  # identical affine: only label semantics differ
     else:
         img = img * 400 + (-100 if modality == 0 else 50)  # HU-ish vs MR-ish

@@ -120,8 +120,8 @@ def main() -> None:
     p.add_argument("--roi", type=int, default=32)
     p.add_argument("--classes", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--gap", default="classswap",
-                   choices=["inverted", "classswap"],
+    p.add_argument("--gap", default="derangement",
+                   choices=["inverted", "classswap", "derangement"],
                    help="modality gap style (classswap: same appearance "
                         "means different classes per modality — round-3 "
                         "measured 'inverted' alone is absorbable by shared "
