@@ -141,6 +141,9 @@ class Config:
     seed: int = 0
     mesh_shape: list[int] = _lst(-1)   # data-parallel mesh; -1 = all devices
     mesh_axes: list[str] = _lst("data")
+    fsdp: bool = False                 # ZeRO-3: shard params+opt over fsdp_axis
+    fsdp_axis: str = "data"            # mesh axis for param sharding
+    fsdp_min_size: int = 8192          # leaves below this many elems replicate
     profile_dir: str | None = None     # jax.profiler trace output
     log_every_n_steps: int = 10
 

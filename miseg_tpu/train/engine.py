@@ -143,6 +143,13 @@ class Trainer:
         state = TrainState(params=params, opt_state=opt_state,
                            step=jnp.zeros((), jnp.int32),
                            extra_vars=variables)
+        if self.cfg.fsdp and self.mesh.shape.get(self.cfg.fsdp_axis, 1) > 1:
+            # ZeRO-3: params + Adam moments sharded leaf-wise over the mesh;
+            # the SAME jitted train step runs — GSPMD inserts all-gather /
+            # reduce-scatter on ICI (parallel/fsdp.py).
+            from ..parallel.fsdp import shard_state
+            return shard_state(state, self.mesh, self.cfg.fsdp_axis,
+                               self.cfg.fsdp_min_size)
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def apply_pretrained(self, state: TrainState) -> TrainState:
