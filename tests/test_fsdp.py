@@ -93,6 +93,72 @@ def test_fsdp_state_is_sharded_and_step_matches_dp(tmp_path):
     assert sharded_fraction(s_fs2.params) > 0.5
 
 
+def test_fsdp_per_device_memory_share(tmp_path):
+    """The ZeRO claim itself: device 0 holds ~1/8 of param+moment bytes
+    (plus the replicated small leaves), not a full replica."""
+    from miseg_tpu.train.engine import Trainer
+
+    rng = np.random.default_rng(3)
+    image = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    modality = np.zeros((1,), np.int32)
+    mesh = make_mesh((8,), ("data",))
+
+    def dev0_bytes(tree):
+        total = 0
+        for leaf in jax.tree.leaves(tree):
+            if not hasattr(leaf, "addressable_shards"):
+                continue
+            for sh in leaf.addressable_shards:
+                if sh.device == jax.devices()[0]:
+                    total += sh.data.nbytes
+        return total
+
+    def full_bytes(tree):
+        return sum(l.nbytes for l in jax.tree.leaves(tree)
+                   if hasattr(l, "nbytes"))
+
+    t = Trainer(_tiny_cfg(tmp_path, fsdp=True, fsdp_min_size=128),
+                mesh=mesh, workdir=str(tmp_path))
+    s = t.init_state(image, modality)
+    for name, tree in (("params", s.params), ("opt_state", s.opt_state)):
+        share = dev0_bytes(tree) / full_bytes(tree)
+        assert share < 0.2, f"{name}: device 0 holds {share:.0%}, not ~1/8"
+
+
+def test_hybrid_dp_fsdp_2d_mesh(tmp_path):
+    """2-D mesh ("data", "model"): batch sharded on data (4-way DP),
+    params sharded on model (2-way FSDP) — hybrid ZeRO, one jit."""
+    from miseg_tpu.train.engine import Trainer
+
+    rng = np.random.default_rng(2)
+    image = rng.normal(size=(8, 16, 16, 16, 1)).astype(np.float32)
+    label = (rng.uniform(size=(8, 16, 16, 16)) > 0.7).astype(np.int32)
+    modality = np.array([0, 1] * 4, np.int32)
+    batch = {"image": image, "label": label, "modality": modality}
+
+    mesh2d = make_mesh((4, 2), ("data", "model"))
+    cfg = _tiny_cfg(tmp_path / "hy", fsdp=True, fsdp_axis="model",
+                    fsdp_min_size=128, mesh_shape=[4, 2],
+                    mesh_axes=["data", "model"])
+    t_hy = Trainer(cfg, mesh=mesh2d, workdir=str(tmp_path / "hy"))
+    s_hy = t_hy.init_state(image[:1], modality[:1])
+    assert sharded_fraction(s_hy.params) > 0.5
+
+    mesh1d = make_mesh((8,), ("data",))
+    t_dp = Trainer(_tiny_cfg(tmp_path / "dp"), mesh=mesh1d,
+                   workdir=str(tmp_path / "dp"))
+    s_dp = t_dp.init_state(image[:1], modality[:1])
+
+    s_hy2, loss_hy = t_hy.train_step(s_hy, batch)
+    s_dp2, loss_dp = t_dp.train_step(s_dp, batch)
+    np.testing.assert_allclose(float(loss_hy), float(loss_dp), rtol=1e-5)
+    # 4-way vs 8-way grad reduction changes f32 summation order; near-zero
+    # grad leaves wobble at ~1e-6, so tolerance is looser than the 1-D case
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        s_hy2.params, s_dp2.params)
+
+
 def test_fsdp_eval_matches_dp(tmp_path):
     """Sliding-window eval (mesh window fan-out) under sharded params."""
     from miseg_tpu.train.engine import Trainer
