@@ -20,11 +20,14 @@ TPU-first layout choices (v2, after profiling v1):
     in the inner grid dimension so window-group blocks are fetched once.
 
 Forward is Pallas; backward is a custom VJP that recomputes the attention
-weights with jnp einsums.  NOTE: the backward transiently materializes the
+weights with jnp einsums.  The backward transiently materializes the
 `[BW, H, N, N]` weight/cotangent tensors in HBM (recompute saves only the
-residual, not the backward's working set) — a blocked flash backward is
-future work; the forward-only inference path is where the memory win
-holds.  Off-TPU the kernel runs in interpret mode, so tests assert exact
+residual, not the backward's working set).  WONTFIX, measured (round 3,
+v5e): the flagship train step with this kernel is 162.5 ms vs 165.3 ms
+for the XLA control — the non-flash backward costs ≈0 on the train path
+because XLA's own backward materializes the same tensors, so a blocked
+flash backward has no e2e win to capture (BASELINE.md round-3 table).
+Off-TPU the kernel runs in interpret mode, so tests assert exact
 parity with the jnp reference on CPU.
 """
 
