@@ -102,8 +102,10 @@ class WindowAttention(nn.Module):
         # `mask` is region ids `i32 [nW, N]` (window_region_ids) or a legacy
         # additive `[nW, N, N]` tensor; ids keep the shifted-window mask out
         # of HBM (stage 1's additive form is 343^3 f32 ≈ 161MB).
-        from ..ops.dispatch import use_pallas_attn
-        fuse = use_pallas_attn() and not (train and self.attn_drop > 0) \
+        from ..ops.dispatch import pallas_attn_min_bw, use_pallas_attn
+        min_bw = pallas_attn_min_bw()
+        want = (use_pallas_attn() if min_bw is None else b >= min_bw)
+        fuse = want and not (train and self.attn_drop > 0) \
             and (mask is None or mask.ndim == 2)
         if fuse:
             from ..ops.pallas import fused_window_attention

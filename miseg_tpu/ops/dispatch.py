@@ -44,6 +44,18 @@ def use_pallas_attn() -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def pallas_attn_min_bw() -> int | None:
+    """Stage-selective attention kernel: MISEG_PALLAS_ATTN_MIN_BW=K uses
+    the Pallas kernel ONLY for window-attention calls whose window-batch
+    (B·nW, a static shape under jit) is ≥ K — e.g. K=128 hits just the
+    swin stage-1 layers (343 windows at 96³), where gap_accounting.py
+    measured the score/softmax materialization (~546 MB f32) while later
+    stages (≤64 windows) keep XLA's fusion.  Unset → no opinion."""
+    v = os.environ.get("MISEG_PALLAS_ATTN_MIN_BW", "").strip()
+    return int(v) if v else None
+
+
+@functools.lru_cache(maxsize=1)
 def use_pallas_conv() -> bool:
     env = _flag("MISEG_PALLAS_CONV")
     return env if env is not None else use_pallas()
@@ -60,4 +72,5 @@ def clear_cache() -> None:
     use_pallas.cache_clear()
     use_pallas_norm.cache_clear()
     use_pallas_attn.cache_clear()
+    pallas_attn_min_bw.cache_clear()
     use_pallas_conv.cache_clear()
