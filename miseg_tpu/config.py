@@ -144,6 +144,8 @@ class Config:
     fsdp: bool = False                 # ZeRO-3: shard params+opt over fsdp_axis
     fsdp_axis: str = "data"            # mesh axis for param sharding
     fsdp_min_size: int = 8192          # leaves below this many elems replicate
+    spatial_shard: bool = False        # SP: shard patch dim D over spatial_axis
+    spatial_axis: str = "sp"           # mesh axis for spatial partitioning
     profile_dir: str | None = None     # jax.profiler trace output
     log_every_n_steps: int = 10
 

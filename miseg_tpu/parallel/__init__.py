@@ -2,3 +2,4 @@ from .mesh import (make_mesh, batch_sharding, replicated_sharding,  # noqa: F401
                    shard_batch, host_shard_info)
 from .fsdp import (leaf_spec, tree_shardings, shard_state,  # noqa: F401
                    sharded_fraction)
+from .spatial import spatial_spec, shard_spatial_batch  # noqa: F401

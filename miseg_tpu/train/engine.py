@@ -209,8 +209,19 @@ class Trainer:
             self._train_step = self._build_train_step()
             self._host_step = 0
         if self.mesh.devices.size > 1:
-            b = shard_batch({k: jnp.asarray(v) for k, v in batch.items()
-                             if k in ("image", "label", "modality")}, self.mesh)
+            arrs = {k: jnp.asarray(v) for k, v in batch.items()
+                    if k in ("image", "label", "modality")}
+            if self.cfg.spatial_shard and \
+                    self.mesh.shape.get(self.cfg.spatial_axis, 1) > 1:
+                # SP: patch dim D split over the spatial axis (composing
+                # with DP on "data" when present) — parallel/spatial.py
+                from ..parallel import shard_spatial_batch
+                b = shard_spatial_batch(
+                    arrs, self.mesh, spatial_axis=self.cfg.spatial_axis,
+                    data_axis="data" if "data" in self.mesh.axis_names
+                    else None)
+            else:
+                b = shard_batch(arrs, self.mesh)
         else:
             # single device: hand numpy straight to the jitted call — the
             # transfer happens inside ONE dispatch instead of one eager
