@@ -146,6 +146,11 @@ class Config:
     fsdp_min_size: int = 8192          # leaves below this many elems replicate
     spatial_shard: bool = False        # SP: shard patch dim D over spatial_axis
     spatial_axis: str = "sp"           # mesh axis for spatial partitioning
+    tensor_parallel: bool = False      # TP: Megatron-shard transformer matmuls
+    tp_axis: str = "model"             # mesh axis for tensor parallelism
+    export_dir: str = "./export_bundle"  # cli.export output bundle path
+    export_platforms: list[str] = _lst("tpu", "cpu")  # AOT lowering targets
+    export_check: bool = False         # round-trip the bundle after export
     profile_dir: str | None = None     # jax.profiler trace output
     log_every_n_steps: int = 10
 

@@ -143,6 +143,18 @@ class Trainer:
         state = TrainState(params=params, opt_state=opt_state,
                            step=jnp.zeros((), jnp.int32),
                            extra_vars=variables)
+        if self.cfg.tensor_parallel and \
+                self.mesh.shape.get(self.cfg.tp_axis, 1) > 1:
+            # TP: Megatron placements for the transformer matmuls; leaves
+            # TP does not claim optionally ZeRO-3-shard over fsdp_axis when
+            # fsdp is also set (parallel/tensor.py).
+            from ..parallel.tensor import shard_state_tp
+            fs_axis = self.cfg.fsdp_axis if (
+                self.cfg.fsdp
+                and self.mesh.shape.get(self.cfg.fsdp_axis, 1) > 1) else None
+            return shard_state_tp(state, self.mesh, self.cfg.tp_axis,
+                                  fsdp_axis=fs_axis,
+                                  fsdp_min_size=self.cfg.fsdp_min_size)
         if self.cfg.fsdp and self.mesh.shape.get(self.cfg.fsdp_axis, 1) > 1:
             # ZeRO-3: params + Adam moments sharded leaf-wise over the mesh;
             # the SAME jitted train step runs — GSPMD inserts all-gather /

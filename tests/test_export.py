@@ -1,0 +1,95 @@
+"""AOT export/serving bundle (serve.py): StableHLO round-trip.
+
+No reference analog (its deployment is predict_whs.py inside the full
+torch stack); this certifies the TPU-native serving path: export a
+trained model to a versioned bundle, reload it WITHOUT model code, and
+get identical window forwards and identical sliding-window volume
+predictions (the imported program re-jits inside the inferer).
+"""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from miseg_tpu.config import Config
+from miseg_tpu.models import model_from_config
+from miseg_tpu.serve import export_bundle, load_bundle
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Config(model_name="unet", roi_x=16, roi_y=16, roi_z=16,
+                 out_channels=2, feature_size=[8], num_layers=2, strides=[2],
+                 num_res_units=1, encoder_norm_name="instance_cond",
+                 decoder_norm_name="instance", no_amp=True, precision="fp32")
+    model = model_from_config(cfg)
+    x = np.zeros((1, 16, 16, 16, 1), np.float32)
+    variables = model.init({"params": jax.random.key(0)}, x,
+                           np.zeros((1,), np.int32))
+    return cfg, model, variables["params"]
+
+
+def test_bundle_roundtrip_window_forward(tiny, tmp_path):
+    cfg, model, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",))
+    assert (out / "window_fn.jax").exists()
+    assert (out / "params.ckpt").exists()
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["roi"] == [16, 16, 16] and meta["out_channels"] == 2
+
+    served = load_bundle(out)
+    rng = np.random.default_rng(1)
+    window = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    for mod in (0, 1):
+        mods = np.full((1,), mod, np.int32)
+        got = np.asarray(served(window, mods))
+        want = np.asarray(model.apply({"params": params}, window, mods,
+                                      train=False))
+        # imported-module and live-jit programs fuse (and round)
+        # independently; observed 1.6e-6 on a single element
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bundle_volume_predict_matches_inferer(tiny, tmp_path):
+    from miseg_tpu.inferers import SlidingWindowInferer
+
+    cfg, model, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",))
+    served = load_bundle(out)
+
+    rng = np.random.default_rng(2)
+    vol = rng.normal(size=(1, 24, 24, 24, 1)).astype(np.float32)
+    mods = np.ones((1,), np.int32)
+    got = np.asarray(served.predict(vol, mods, mode="constant"))
+
+    ref = SlidingWindowInferer(
+        lambda p, w, m: model.apply({"params": p}, w, m, train=False),
+        roi_size=cfg.roi, sw_batch_size=1, overlap=cfg.infer_overlap,
+        mode="constant", out_channels=cfg.out_channels)
+    want = np.asarray(ref(jnp.asarray(vol), jnp.asarray(mods), params))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_multi_platform_lowering_from_cpu_host(tiny, tmp_path):
+    """A CPU host can produce a TPU+CPU artifact (cross-platform AOT)."""
+    cfg, model, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "bundle",
+                        platforms=("tpu", "cpu"))
+    served = load_bundle(out)
+    assert served.meta["platforms"] == ["tpu", "cpu"]
+    # still callable on this (CPU) host because "cpu" is among the targets
+    window = np.zeros((1, 16, 16, 16, 1), np.float32)
+    np.asarray(served(window, np.zeros((1,), np.int32)))
+
+
+def test_bundle_version_guard(tiny, tmp_path):
+    cfg, _, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",))
+    meta = json.loads((out / "meta.json").read_text())
+    meta["bundle_version"] = 99
+    (out / "meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="newer"):
+        load_bundle(out)
