@@ -18,9 +18,14 @@ why (VPU-bound softmax/normalization chains, layout copies, gathers...).
 Async ops (`copy-start`/`-done` weight prefetches) overlap compute and
 are reported separately — their time does not serialize into the wall.
 
+Round 3 extends the same accounting to the TRAINING step (`--train`):
+the exact bench.py protocol (batch=1 96³, dice_focal, adamw, bf16
+compute / f32 master params) — so the 165 ms train headline gets the
+same per-op physical-traffic roofline treatment as the forward.
+
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/gap_accounting.py \
-      [--fs 48] [--roi 96] [--reps 6] [--top 30]
+      [--fs 48] [--roi 96] [--reps 6] [--top 30] [--train]
 """
 
 from __future__ import annotations
@@ -73,6 +78,9 @@ def main() -> None:
     p.add_argument("--roi", type=int, default=96)
     p.add_argument("--reps", type=int, default=6)
     p.add_argument("--top", type=int, default=30)
+    p.add_argument("--train", action="store_true",
+                   help="account the bench.py training step instead of the "
+                        "inference forward")
     args = p.parse_args()
 
     import jax
@@ -100,20 +108,57 @@ def main() -> None:
         variables["params"])
     xb = x.astype(jnp.bfloat16)
 
-    fwd = jax.jit(lambda p, w, m: model.apply({"params": p}, w, m))
-    compiled = fwd.lower(params, xb, mods).compile()
+    fetch = jax.jit(lambda o: o.ravel()[0])
+    if args.train:
+        # the bench.py train-step protocol, verbatim (bench.py:108-124)
+        import optax
+        from miseg_tpu.losses import loss_from_config
+        loss_fn = loss_from_config(Config(criterion="dice_focal",
+                                          out_channels=6))
+        params_f32 = variables["params"]
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(params_f32)
+        label = jnp.asarray(rng.integers(0, 6, (1,) + (args.roi,) * 3),
+                            jnp.int32)
+
+        @jax.jit
+        def step(p, o, image, lab, m):
+            def loss_of(pp):
+                pc = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                                  if a.dtype == jnp.float32 else a, pp)
+                logits = model.apply({"params": pc},
+                                     image.astype(jnp.bfloat16), m,
+                                     train=True).astype(jnp.float32)
+                return loss_fn(logits, lab)
+            loss, grads = jax.value_and_grad(loss_of)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        compiled = step.lower(params_f32, opt_state, x, label, mods).compile()
+
+        def run_once():
+            nonlocal params_f32, opt_state
+            params_f32, opt_state, loss = step(params_f32, opt_state, x,
+                                               label, mods)
+            return loss
+    else:
+        fwd = jax.jit(lambda p, w, m: model.apply({"params": p}, w, m))
+        compiled = fwd.lower(params, xb, mods).compile()
+
+        def run_once():
+            return fwd(params, xb, mods)
+
     by_name = hlo_bytes_by_name(compiled.as_text())
     total_gb = sum(b for b, _ in by_name.values()) / 1e9
     print(f"# physical traffic {total_gb:.1f} GB; roofline "
           f"{total_gb / HBM_GBPS * 1e3:.1f} ms", flush=True)
 
-    fetch = jax.jit(lambda o: o.ravel()[0])
-    np.asarray(fetch(fwd(params, xb, mods)))  # compile+warm
+    np.asarray(fetch(run_once()))  # compile+warm
     logdir = tempfile.mkdtemp(prefix="miseg_gap_")
     with jax.profiler.trace(logdir):
         out = None
         for _ in range(args.reps):
-            out = fwd(params, xb, mods)
+            out = run_once()
         np.asarray(fetch(out))
         time.sleep(1.0)
 
@@ -123,7 +168,9 @@ def main() -> None:
     for name, tot_ms, n in rows:
         base = name.split(" ")[0].lstrip("%").split("=")[0].strip().lstrip("%")
         ms = tot_ms / max(1, args.reps)
-        if "jit_fn" in name or "TPU" in base:
+        if "jit_fn" in name or "jit_step" in name or "TPU" in base:
+            continue
+        if base.isdigit():  # whole-program invocation rows, not HLO ops
             continue
         is_async = "start" in base or "done" in base
         info = by_name.get(base)
