@@ -1,0 +1,160 @@
+"""Pipeline parallelism (PP): a GPipe schedule over a mesh "pp" axis,
+TPU-natively — `shard_map` + `lax.ppermute` over ICI + one `lax.scan`
+of compile-time-static ticks (no per-stage processes, no send/recv
+runtime like torch pipelines).
+
+The reference has no PP (SURVEY §2.8 row "PP": absent; its only
+parallelism is DDP).  These segmentation models fit on one chip, so PP
+is not a parity requirement — it is the one mesh dimension the
+parallel/ family (DP `mesh.py`, FSDP `fsdp.py`, SP `spatial.py`, TP
+`tensor.py`) would otherwise lack, and the transformer encoders map to
+it exactly: UNETR consumes its ViT's hidden states after layers
+3/6/9/12 (models/unetr.py; reference networks/nets/unetr.py:254-276) —
+precisely the stage boundaries of a 4-stage pipeline, so `ys[s]` below
+IS the skip input for encoder s+1.
+
+Design (classic GPipe on an SPMD mesh):
+
+  * every pipeline stage runs the SAME `stage_fn` with its own slice of
+    stage-stacked params (leading dim S sharded `P("pp")` — device s
+    holds stage s);
+  * the global batch splits into M microbatches; a scan over
+    T = M + S - 1 ticks moves activations one stage per tick via
+    `ppermute` (device s processes microbatch t - s at tick t, bubble
+    fraction (S-1)/T);
+  * activations must keep ONE shape across stages (true for transformer
+    stacks); inactive ticks compute on garbage and write to a spare
+    buffer slot — branchless, so the whole schedule is one XLA program;
+  * backward is `jax.grad` through the scan: ppermute transposes to the
+    reverse permute, giving the standard GPipe backward schedule with
+    rematerialized stage activations (wrap `stage_fn` in
+    `jax.checkpoint` for the textbook memory profile).
+
+Composes with DP on a 2-D ("data", "pp") mesh: batch inputs sharded
+`P("data")` are simply smaller per-device microbatches; params stay
+`P("pp")` (replicated over "data").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_stages(layer_params: list, n_stages: int):
+    """Stack per-layer param trees `[L]` into a stage-stacked tree.
+
+    Every leaf gains leading dims `[S, L // S]`; shard dim 0 on "pp".
+    Layers must divide stages evenly and share one tree structure (true
+    for a homogeneous transformer stack such as ViT's `blocks_i`).
+    """
+    n_layers = len(layer_params)
+    if n_layers % n_stages:
+        raise ValueError(f"{n_layers} layers do not split into "
+                         f"{n_stages} equal stages")
+    per = n_layers // n_stages
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *layer_params)
+    return jax.tree.map(
+        lambda a: a.reshape((n_stages, per) + a.shape[1:]), stacked)
+
+
+def pipeline_spec(stacked_params, mesh: Mesh, axis: str = "pp"):
+    """NamedShardings placing each stage's slice on its device row."""
+    def rule(leaf):
+        ndim = np.ndim(leaf)
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+    return jax.tree.map(rule, stacked_params)
+
+
+def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
+                   mesh: Mesh, axis: str = "pp", microbatches: int,
+                   data_axis: str | None = None):
+    """Run S pipeline stages over `x [B, ...]`, GPipe-scheduled.
+
+    `stage_fn(stage_params, h, *extra_mb)` maps one activation microbatch
+    `[B/M, ...]` through one stage and must preserve its shape.
+    `stacked_params` leaves carry leading dim S (see `stack_stages` — for
+    multi-layer stages the second dim is layers-per-stage, for `stage_fn`
+    to loop over).  `extra` pytrees are per-SAMPLE side inputs (e.g. the
+    `modalities` vector) microbatched alongside `x`.
+
+    Returns `ys [S, B, ...]`: the activation after every stage —
+    `ys[-1]` is the pipeline output; intermediate rows are the hidden
+    states UNETR-style decoders consume.
+
+    With `data_axis`, runs hybrid DP x PP on a 2-D mesh: `x`/`extra`
+    are sharded on the batch axis, params replicated across it.
+    """
+    n_stages = int(mesh.shape[axis])
+    m = int(microbatches)
+    if m < 1:
+        raise ValueError("microbatches must be >= 1")
+
+    bspec = P(data_axis) if data_axis else P()
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(
+                      lambda leaf: P(axis, *([None] * (np.ndim(leaf) - 1))),
+                      stacked_params),
+                  bspec, jax.tree.map(lambda _: bspec, extra)),
+        out_specs=P(axis, data_axis),
+        check_vma=False)
+    def run(stacked, xb, extras):
+        # local param slice: drop the sharded leading stage dim (=1 here)
+        stage_params = jax.tree.map(lambda a: a[0], stacked)
+        s = jax.lax.axis_index(axis)
+        batch = xb.shape[0]
+        if batch % m:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"{m} microbatches")
+        mb = batch // m
+        x_mb = xb.reshape((m, mb) + xb.shape[1:])
+        ex_mb = jax.tree.map(
+            lambda a: a.reshape((m, mb) + a.shape[1:]), extras)
+
+        # buffer slot m is the garbage bin for inactive ticks
+        buf = jnp.zeros((m + 1, mb) + xb.shape[1:], x_mb.dtype)
+        h0 = jnp.zeros((mb,) + xb.shape[1:], x_mb.dtype)
+        fwd_perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+        def tick(carry, t):
+            h_recv, out = carry
+            mi = t - s                      # this device's microbatch index
+            active = (mi >= 0) & (mi < m)
+            mc = jnp.clip(mi, 0, m - 1)
+            x_in = jax.lax.dynamic_index_in_dim(x_mb, mc, 0, keepdims=False)
+            h_in = jnp.where(s == 0, x_in, h_recv)
+            e_in = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mc, 0,
+                                                       keepdims=False),
+                ex_mb)
+            h_out = stage_fn(stage_params, h_in, *e_in)
+            if h_out.shape != h_in.shape or h_out.dtype != h_in.dtype:
+                raise ValueError("stage_fn must preserve activation "
+                                 f"shape/dtype, got {h_out.shape} "
+                                 f"{h_out.dtype} from {h_in.shape} "
+                                 f"{h_in.dtype}")
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, h_out, jnp.where(active, mc, m), 0)
+            h_next = jax.lax.ppermute(h_out, axis, fwd_perm)
+            return (h_next, out), None
+
+        (_, buf), _ = jax.lax.scan(tick, (h0, buf),
+                                   jnp.arange(m + n_stages - 1))
+        ys = buf[:m]                          # [M, mb, ...]
+        ys = ys.reshape((batch,) + ys.shape[2:])
+        return ys[None]                       # [1(stage), local batch, ...]
+
+    return run(stacked_params, x, extra)
+
+
+def place_pipeline_params(stacked_params, mesh: Mesh, axis: str = "pp"):
+    """Device-put a stage-stacked tree onto its pipeline placement."""
+    return jax.device_put(stacked_params,
+                          pipeline_spec(stacked_params, mesh, axis))

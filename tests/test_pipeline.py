@@ -1,0 +1,174 @@
+"""Pipeline parallelism (GPipe over a "pp" mesh axis) on the 8-device
+CPU mesh.
+
+The reference has no PP (SURVEY §2.8 row "PP": absent); `parallel/
+pipeline.py` provides the GPipe schedule as the last missing mesh
+dimension of the parallel/ family.  Certified here: (a) the schedule
+computes exactly what the serial layer stack computes — every stage
+boundary, not just the final output; (b) `jax.grad` through the
+pipeline matches serial grads (ppermute transposes correctly); (c) a
+real transformer stack with conditional norms pipelines, with the
+`modalities` side input microbatched alongside the tokens; (d) hybrid
+DP x PP on a 2-D mesh; (e) the ViT stage boundaries are UNETR's hidden
+states (3/6/9/12 for 12 layers on 4 stages)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from miseg_tpu.nn.transformer import TransformerBlock
+from miseg_tpu.parallel import make_mesh
+from miseg_tpu.parallel.pipeline import (pipeline_apply,
+                                         place_pipeline_params,
+                                         stack_stages)
+
+
+def _affine_stage(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+
+def _layer_params(rng, n_layers, width):
+    return [{"w": jnp.asarray(rng.normal(size=(width, width)) * 0.3,
+                              jnp.float32),
+             "b": jnp.asarray(rng.normal(size=(width,)), jnp.float32)}
+            for _ in range(n_layers)]
+
+
+def _serial(layers, x):
+    outs = []
+    h = x
+    for p in layers:
+        h = _affine_stage(p, h)
+        outs.append(h)
+    return outs
+
+
+def test_pipeline_matches_serial_every_stage(rng):
+    n_stages, batch, width = 4, 8, 16
+    mesh = make_mesh((-1, n_stages), ("data", "pp"))
+    layers = _layer_params(rng, n_stages, width)
+    stacked = place_pipeline_params(stack_stages(layers, n_stages), mesh)
+    x = jnp.asarray(rng.normal(size=(batch, width)), jnp.float32)
+
+    def stage_fn(p, h):
+        return _affine_stage(jax.tree.map(lambda a: a[0], p), h)
+
+    ys = pipeline_apply(stage_fn, stacked, x, mesh=mesh, microbatches=4)
+    assert ys.shape == (n_stages, batch, width)
+    want = _serial(layers, x)
+    for s in range(n_stages):
+        np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(want[s]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("microbatches", [1, 2, 8])
+def test_pipeline_microbatch_counts(rng, microbatches):
+    mesh = make_mesh((-1, 4), ("data", "pp"))
+    layers = _layer_params(rng, 4, 8)
+    stacked = place_pipeline_params(stack_stages(layers, 4), mesh)
+    x = jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)
+
+    def stage_fn(p, h):
+        return _affine_stage(jax.tree.map(lambda a: a[0], p), h)
+
+    ys = pipeline_apply(stage_fn, stacked, x, mesh=mesh,
+                        microbatches=microbatches)
+    np.testing.assert_allclose(np.asarray(ys[-1]),
+                               np.asarray(_serial(layers, x)[-1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_grads_match_serial(rng):
+    n_stages, batch, width = 4, 8, 12
+    mesh = make_mesh((-1, n_stages), ("data", "pp"))
+    layers = _layer_params(rng, n_stages, width)
+    stacked = stack_stages(layers, n_stages)
+    x = jnp.asarray(rng.normal(size=(batch, width)), jnp.float32)
+
+    def stage_fn(p, h):
+        return _affine_stage(jax.tree.map(lambda a: a[0], p), h)
+
+    def loss_pp(sp):
+        ys = pipeline_apply(stage_fn, sp, x, mesh=mesh, microbatches=4)
+        return jnp.mean(ys[-1] ** 2)
+
+    def loss_serial(sp):
+        per = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), sp)
+        h = x
+        for i in range(n_stages):
+            h = _affine_stage(jax.tree.map(lambda a: a[i], per), h)
+        return jnp.mean(h ** 2)
+
+    g_pp = jax.grad(loss_pp)(place_pipeline_params(stacked, mesh))
+    g_serial = jax.grad(loss_serial)(stacked)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g_pp, g_serial)
+
+
+def _vit_stack(rng, n_layers=4, hidden=16, heads=2):
+    block = TransformerBlock(hidden_size=hidden, mlp_dim=2 * hidden,
+                             num_heads=heads,
+                             norm=("instance_cond",
+                                   {"num_styles": 2, "affine": True}))
+    x0 = jnp.zeros((1, 6, hidden), jnp.float32)
+    m0 = jnp.zeros((1,), jnp.int32)
+    layers = [block.init({"params": jax.random.key(i)}, x0, m0)["params"]
+              for i in range(n_layers)]
+    return block, layers
+
+
+def test_transformer_stack_pipelines_with_modalities(rng):
+    """A conditional-norm ViT stack: stage boundaries == UNETR hidden
+    states; the per-sample modalities ride along as a microbatched side
+    input (reference threads them into every block,
+    networks/nets/vit.py:254-276 analog)."""
+    n_stages, n_layers, batch, tokens, hidden = 2, 4, 4, 6, 16
+    mesh = make_mesh((-1, n_stages), ("data", "pp"))
+    block, layers = _vit_stack(rng, n_layers, hidden)
+    stacked = place_pipeline_params(stack_stages(layers, n_stages), mesh)
+    x = jnp.asarray(rng.normal(size=(batch, tokens, hidden)), jnp.float32)
+    mods = jnp.asarray([0, 1, 1, 0], jnp.int32)
+
+    def stage_fn(p, h, m):
+        for i in range(n_layers // n_stages):
+            h = block.apply({"params": jax.tree.map(lambda a: a[i], p)},
+                            h, m, train=False)
+        return h
+
+    ys = pipeline_apply(stage_fn, stacked, x, mods, mesh=mesh,
+                        microbatches=2)
+
+    h = x
+    hidden_states = []
+    for p in layers:
+        h = block.apply({"params": p}, h, mods, train=False)
+        hidden_states.append(h)
+    # stage outputs are hidden states at layers (L/S)*(s+1) - 1
+    per = n_layers // n_stages
+    for s in range(n_stages):
+        np.testing.assert_allclose(np.asarray(ys[s]),
+                                   np.asarray(hidden_states[per * (s + 1) - 1]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_dp_pp(rng):
+    """2-D ("data", "pp") mesh: batch sharded on data, stages on pp."""
+    mesh = make_mesh((2, 4), ("data", "pp"))
+    layers = _layer_params(rng, 4, 8)
+    stacked = stack_stages(layers, 4)
+    x = jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)
+
+    def stage_fn(p, h):
+        return _affine_stage(jax.tree.map(lambda a: a[0], p), h)
+
+    ys = pipeline_apply(stage_fn, stacked, x, mesh=mesh, microbatches=2,
+                        data_axis="data")
+    np.testing.assert_allclose(np.asarray(ys[-1]),
+                               np.asarray(_serial(layers, x)[-1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_uneven_layers_rejected(rng):
+    with pytest.raises(ValueError, match="do not split"):
+        stack_stages(_layer_params(rng, 5, 4), 2)
