@@ -82,10 +82,17 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
     in_ch = int(cfg.in_channels)
 
     # plain nested-dict host copies: the pytree STRUCTURE is part of the
-    # exported calling convention, and load_bundle restores a plain dict
+    # exported calling convention, and load_bundle restores a plain dict.
+    # Params are stored ALREADY in the compute dtype: the serving side
+    # never updates them, so shipping f32 masters would double the
+    # artifact and leave a live params cast inside the exported program
+    # (with compute-dtype params the in-program cast is an identity and
+    # folds away).
     from flax import serialization
-    params = serialization.to_state_dict(
-        jax.tree.map(np.asarray, params))
+    params = serialization.to_state_dict(jax.tree.map(
+        lambda x: np.asarray(x).astype(np.dtype(compute))
+        if jnp.issubdtype(np.asarray(x).dtype, jnp.floating)
+        else np.asarray(x), params))
     p_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
         params)
@@ -105,7 +112,9 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
         "out_channels": int(cfg.out_channels),
         "sw_batch_size": bs,
         "infer_overlap": float(cfg.infer_overlap),
+        "spacing": [float(s) for s in cfg.spacing],
         "compute_dtype": np.dtype(compute).name,
+        "params_dtype": np.dtype(compute).name,
         "jax_version": jax.__version__,
         "model_name": cfg.model_name,
     }

@@ -38,12 +38,20 @@ def _machine_fingerprint() -> str:
     instead of replaying foreign AOT code)."""
     import hashlib
     import platform as _plat
-    feats = ""
+    feats = model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not feats and line.startswith(("flags", "Features")):
                     feats = line.strip()
+                if not model and line.startswith("model name"):
+                    # XLA:CPU derives tuning pseudo-features
+                    # (+prefer-no-gather/-scatter) from the CPU MODEL, not
+                    # the flags line — identical flags on a different model
+                    # still replayed mismatched AOT entries (observed
+                    # 2026-08-18 in CLI runs).
+                    model = line.strip()
+                if feats and model:
                     break
     except OSError:
         pass
@@ -55,7 +63,7 @@ def _machine_fingerprint() -> str:
         ver = jaxlib.__version__
     except Exception:
         ver = "?"
-    key = f"v2|{_plat.machine()}|{ver}|{feats}"
+    key = f"v3|{_plat.machine()}|{ver}|{model}|{feats}"
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 

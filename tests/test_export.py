@@ -85,6 +85,31 @@ def test_multi_platform_lowering_from_cpu_host(tiny, tmp_path):
     np.asarray(served(window, np.zeros((1,), np.int32)))
 
 
+def test_amp_bundle_stores_compute_dtype_params(tiny, tmp_path):
+    """With amp, params ship ALREADY in bf16: the serving side never
+    updates them, f32 masters would double the artifact, and the
+    in-program cast folds to an identity."""
+    import jax.numpy as jnp
+
+    cfg, model, params = tiny
+    out = export_bundle(cfg.replace(no_amp=False, precision="bf16"), params,
+                        tmp_path / "bundle", platforms=("cpu",))
+    from miseg_tpu.serve import load_bundle
+    served = load_bundle(out)
+    assert served.meta["params_dtype"] == "bfloat16"
+    leaves = jax.tree.leaves(served.params)
+    assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves
+               if jnp.issubdtype(leaf.dtype, jnp.floating))
+    window = np.random.default_rng(5).normal(
+        size=(1, 16, 16, 16, 1)).astype(np.float32)
+    mods = np.zeros((1,), np.int32)
+    got = np.asarray(served(window, mods))
+    want = np.asarray(model.apply({"params": params}, window, mods,
+                                  train=False))
+    # bf16 compute vs the f32 live forward: loose tolerance
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.1)
+
+
 def test_bundle_version_guard(tiny, tmp_path):
     cfg, _, params = tiny
     out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",))
