@@ -81,6 +81,43 @@ def test_tune_cli_main(env):
     assert rep["n_trials"] == 2 and rep["direction"] == "maximize"
 
 
+def test_export_cli_then_http_serve(env, tmp_path):
+    """Deployment flow end-to-end from a TRAINED checkpoint: export CLI →
+    bundle → HTTP server → native-space NIfTI prediction."""
+    import json
+    import threading
+    import urllib.request
+
+    root, cfg = env
+    best = root / "exp" / "s" / "best.ckpt"
+    from miseg_tpu.cli import export as export_cli
+    bundle = export_cli.main(cfg.replace(ckpt_path=str(best),
+                                         export_dir=str(tmp_path / "bundle"),
+                                         export_platforms=["cpu"],
+                                         export_check=True))
+
+    from miseg_tpu.cli.serve import make_server
+    srv = make_server(bundle, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        with urllib.request.urlopen(f"{base}/health") as r:
+            assert json.loads(r.read())["model_name"] == "unet"
+        src = root / "ct_train" / "ct_train_1001_image.nii.gz"
+        req = urllib.request.Request(f"{base}/predict?modality=0",
+                                     data=src.read_bytes(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = r.read()
+        dst = tmp_path / "pred.nii.gz"
+        dst.write_bytes(out)
+        pred = load_nifti(str(dst))
+        orig = load_nifti(str(src))
+        assert pred.data.shape == orig.data.shape
+        assert set(np.unique(pred.data)).issubset(set(range(cfg.out_channels)))
+    finally:
+        srv.shutdown()
+
+
 def test_run_cv_two_folds(env, tmp_path):
     """scripts/run_cv.py: both folds train, per-fold metrics are read from
     each experiment dir, and the aggregate means land in cv_summary.json."""
