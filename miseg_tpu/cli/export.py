@@ -35,10 +35,14 @@ def main(cfg: Config | None = None) -> str:
     params = load_any_checkpoint_params(cfg.ckpt_path or cfg.pretrained,
                                         variables["params"])
 
+    vol_shapes = [tuple(int(d) for d in s.lower().split("x"))
+                  for s in cfg.export_volume_shapes]
     out = export_bundle(cfg, params, cfg.export_dir,
-                        platforms=tuple(cfg.export_platforms))
+                        platforms=tuple(cfg.export_platforms),
+                        volume_shapes=vol_shapes)
     print(f"exported {cfg.model_name} -> {out} "
-          f"(platforms={list(cfg.export_platforms)}, roi={list(cfg.roi)})")
+          f"(platforms={list(cfg.export_platforms)}, roi={list(cfg.roi)}"
+          + (f", volume programs={vol_shapes}" if vol_shapes else "") + ")")
 
     if cfg.export_check:
         served = load_bundle(out)

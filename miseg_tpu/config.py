@@ -151,6 +151,9 @@ class Config:
     export_dir: str = "./export_bundle"  # cli.export output bundle path
     export_platforms: list[str] = _lst("tpu", "cpu")  # AOT lowering targets
     export_check: bool = False         # round-trip the bundle after export
+    # canonical volume shapes ("224x224x224" each) to AOT-export whole
+    # sliding-window programs for — serve.ServedModel.predict fast path
+    export_volume_shapes: list[str] = _lst()
     profile_dir: str | None = None     # jax.profiler trace output
     log_every_n_steps: int = 10
 

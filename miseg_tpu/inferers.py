@@ -332,6 +332,54 @@ class SlidingWindowInferer:
             starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, 0)], 0)
         return starts.reshape(-1, k, starts.shape[1])
 
+    def _bind(self, p):
+        if p is None:
+            return self.predict_fn
+        return lambda w, m: self.predict_fn(p, w, m)
+
+    def program(self, spatial: Sequence[int]):
+        """Build the jittable volume program for a `spatial` (pre-pad) shape.
+
+        Returns `(full, starts, imp, count)` where
+        `full(params, inputs, modalities, starts, imp, count)` is the whole
+        pad → tile → predict → blend → crop computation and starts/imp/count
+        are host numpy arrays meant to travel as device ARGUMENTS (baking
+        multi-MB blend tables as HLO constants is a measured compile
+        pathology — see module docstring).  Used by `__call__` (per-shape
+        jit cache) and by `serve.export_bundle` (volume-level AOT export,
+        which serializes `jax.jit(full)` + the aux arrays)."""
+        roi = self.roi_size
+        spatial = tuple(int(s) for s in spatial)
+        interval = scan_interval(roi, self.overlap)
+        padded = _pad_to_grid(spatial, roi, interval)
+        # symmetric pad (MONAI pads half/half when dim < roi)
+        pads = ((0, 0),) + tuple(((p - s) // 2, p - s - (p - s) // 2)
+                                 for s, p in zip(spatial, padded)) + ((0, 0),)
+        out_ch = self.out_channels
+        if out_ch is None:
+            raise ValueError("out_channels must be set on SlidingWindowInferer")
+        starts = np.asarray(self._grouped_starts(padded), np.int32)
+        imp = self._importance()
+        # exact: _pad_to_grid guarantees (p - r) % s == 0
+        grid = tuple((p - r) // s + 1
+                     for p, r, s in zip(padded, roi, interval))
+        count = self._overlap_count(grid, roi, interval)
+
+        def full(p, inp, mods, starts, imp, count):
+            predict = self._bind(p)
+            x = jnp.pad(inp, pads) if any(q != (0, 0) for q in pads) else inp
+            out = _sw_core_overlap_add(predict, x, mods, starts, imp,
+                                       count, grid=grid, roi=roi,
+                                       interval=interval,
+                                       out_channels=out_ch,
+                                       mesh=self.mesh,
+                                       batch_windows=self.batch_windows)
+            crop = tuple(slice(q[0], q[0] + s)
+                         for q, s in zip(pads[1:-1], spatial))
+            return out[(slice(None), *crop, slice(None))]
+
+        return full, starts, imp, count
+
     def __call__(self, inputs: Array, modalities: Array | None = None,
                  params=None) -> Array:
         """Run inference.  If the inferer was built with a 3-argument
@@ -342,22 +390,16 @@ class SlidingWindowInferer:
         spatial = tuple(inputs.shape[1:-1])
         interval = scan_interval(roi, self.overlap)
         padded = _pad_to_grid(spatial, roi, interval)
-        # symmetric pad (MONAI pads half/half when dim < roi)
-        pads = ((0, 0),) + tuple(((p - s) // 2, p - s - (p - s) // 2)
-                                 for s, p in zip(spatial, padded)) + ((0, 0),)
         out_ch = self.out_channels
         if out_ch is None:
             raise ValueError("out_channels must be set on SlidingWindowInferer")
 
-        def bind_predict(p):
-            if p is None:
-                return self.predict_fn
-            return lambda w, m: self.predict_fn(p, w, m)
-
         if self.stitch_on_host:
+            pads = ((0, 0),) + tuple(((p - s) // 2, p - s - (p - s) // 2)
+                                     for s, p in zip(spatial, padded)) + ((0, 0),)
             x = jnp.pad(inputs, pads) if any(p != (0, 0) for p in pads) else inputs
             starts = self._grouped_starts(padded)
-            out = self._host_stitch(bind_predict(params), x, modalities,
+            out = self._host_stitch(self._bind(params), x, modalities,
                                     starts, out_ch)
             crop = tuple(slice(p[0], p[0] + s)
                          for p, s in zip(pads[1:-1], spatial))
@@ -370,27 +412,9 @@ class SlidingWindowInferer:
         key = (spatial, padded, inputs.shape[0], inputs.shape[-1],
                self.sw_batch_size)
         if key not in self._jitted:
-            starts = jnp.asarray(self._grouped_starts(padded))
-            imp = jnp.asarray(self._importance())
-            # exact: _pad_to_grid guarantees (p - r) % s == 0
-            grid = tuple((p - r) // s + 1
-                         for p, r, s in zip(padded, roi, interval))
-            count = jnp.asarray(self._overlap_count(grid, roi, interval))
-
-            def full(p, inp, mods, starts, imp, count):
-                predict = bind_predict(p)
-                x = jnp.pad(inp, pads) if any(q != (0, 0) for q in pads) else inp
-                out = _sw_core_overlap_add(predict, x, mods, starts, imp,
-                                           count, grid=grid, roi=roi,
-                                           interval=interval,
-                                           out_channels=out_ch,
-                                           mesh=self.mesh,
-                                           batch_windows=self.batch_windows)
-                crop = tuple(slice(q[0], q[0] + s)
-                             for q, s in zip(pads[1:-1], spatial))
-                return out[(slice(None), *crop, slice(None))]
-
-            self._jitted[key] = (jax.jit(full), starts, imp, count)
+            full, starts, imp, count = self.program(spatial)
+            self._jitted[key] = (jax.jit(full), jnp.asarray(starts),
+                                 jnp.asarray(imp), jnp.asarray(count))
         fn, starts, imp, count = self._jitted[key]
         return fn(params, inputs, modalities, starts, imp, count)
 

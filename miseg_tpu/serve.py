@@ -18,17 +18,34 @@ Bundle layout (a directory):
                    (kept OUTSIDE the program: baking multi-hundred-MB
                    constants into HLO is a measured compile pathology —
                    see CLAUDE.md / inferers.py)
+    volume_<DxHxW>.jax/.npz   optional: the WHOLE sliding-window program
+                   (pad → tile → predict → blend → crop) exported for a
+                   canonical volume shape, plus its blend tables
+                   (window starts / importance / normalizer — device
+                   ARGUMENTS, never HLO constants)
 
 Serving reuses the sliding-window machinery: `ServedModel.predict` wraps
 the deserialized program in the same `SlidingWindowInferer` (an
 `Exported.call` is traceable, so the whole tile->predict->blend loop
 still compiles to ONE device program around the imported module).
+
+Why volume-level exports exist: calling the imported window module from
+inside the inferer's per-window loop puts a StableHLO module boundary in
+the hot loop — XLA keeps the exported module's argument layouts and
+cannot hoist loop-invariant work (bias-table gathers, param layout
+conversions) out of a call it didn't build, measured at 0.83× the live
+model on v5e (BASELINE.md round 3).  Exporting the ENTIRE volume program
+for the shapes a deployment actually serves (serving shapes are static
+by design — same philosophy as every jitted shape here) removes every
+interior boundary: steady-state compute is then identical to the live
+model, and startup keeps the AOT win.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +80,9 @@ def _window_fn(model, compute_dtype):
 
 def export_bundle(cfg: Config, params, out_dir: str | Path,
                   platforms: tuple[str, ...] = ("tpu", "cpu"),
-                  sw_batch_size: int | None = None) -> Path:
+                  sw_batch_size: int | None = None,
+                  volume_shapes: Sequence[Sequence[int]] = (),
+                  volume_mode: str = "gaussian") -> Path:
     """Export `cfg`'s model + `params` as a serving bundle at `out_dir`.
 
     `platforms` lists every backend the artifact must run on; lowering is
@@ -71,6 +90,12 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
     The window batch dim is fixed to `sw_batch_size` (default: the
     config's) — serving shapes are static by design, like every jitted
     shape in this framework.
+
+    `volume_shapes` lists canonical volume spatial shapes (e.g.
+    `[(224, 224, 224)]`) to additionally export WHOLE sliding-window
+    programs for (blend mode `volume_mode`, overlap from the config) —
+    `ServedModel.predict` routes matching volumes through these,
+    recovering live-model steady-state throughput (see module docstring).
     """
     from jax import export as jexport
 
@@ -99,11 +124,40 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
     w_spec = jax.ShapeDtypeStruct((bs, *cfg.roi, in_ch), np.float32)
     m_spec = jax.ShapeDtypeStruct((bs,), np.int32)
 
-    exported = jexport.export(jax.jit(_window_fn(model, compute)),
+    wfn = _window_fn(model, compute)
+    exported = jexport.export(jax.jit(wfn),
                               platforms=list(platforms))(
                                   p_spec, w_spec, m_spec)
     (out / _FN_FILE).write_bytes(exported.serialize())
     save_checkpoint(out / _PARAMS_FILE, params=params)
+
+    volume_programs = []
+    for spatial in volume_shapes:
+        spatial = tuple(int(s) for s in spatial)
+        inferer = SlidingWindowInferer(
+            lambda p, w, m: wfn(p, w, m), roi_size=tuple(cfg.roi),
+            sw_batch_size=bs, overlap=float(cfg.infer_overlap),
+            mode=volume_mode, out_channels=int(cfg.out_channels))
+        full, starts, imp, count = inferer.program(spatial)
+        specs = (p_spec,
+                 jax.ShapeDtypeStruct((1, *spatial, in_ch), np.float32),
+                 jax.ShapeDtypeStruct((1,), np.int32),
+                 jax.ShapeDtypeStruct(starts.shape, np.int32),
+                 jax.ShapeDtypeStruct(imp.shape, np.float32),
+                 jax.ShapeDtypeStruct(count.shape, np.float32))
+        exported_v = jexport.export(jax.jit(full),
+                                    platforms=list(platforms))(*specs)
+        tag = "x".join(str(s) for s in spatial)
+        (out / f"volume_{tag}.jax").write_bytes(exported_v.serialize())
+        np.savez(out / f"volume_{tag}.npz",
+                 starts=np.asarray(starts, np.int32),
+                 imp=np.asarray(imp, np.float32),
+                 count=np.asarray(count, np.float32))
+        volume_programs.append({
+            "tag": tag, "spatial": list(spatial), "batch": 1,
+            "mode": volume_mode, "overlap": float(cfg.infer_overlap),
+        })
+
     meta = {
         "bundle_version": _BUNDLE_VERSION,
         "platforms": list(platforms),
@@ -117,6 +171,7 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
         "params_dtype": np.dtype(compute).name,
         "jax_version": jax.__version__,
         "model_name": cfg.model_name,
+        "volume_programs": volume_programs,
     }
     (out / _META_FILE).write_text(json.dumps(meta, indent=2))
     return out
@@ -126,25 +181,59 @@ class ServedModel:
     """A deserialized bundle: window-level `__call__` + volume-level
     `predict` (sliding-window, same blend semantics as training eval)."""
 
-    def __init__(self, exported, params, meta: dict):
+    def __init__(self, exported, params, meta: dict,
+                 bundle_dir: Path | None = None):
         self._exported = exported
         self.params = params
         self.meta = meta
+        self._bundle_dir = Path(bundle_dir) if bundle_dir else None
         self._inferers: dict = {}
+        self._volume_fns: dict = {}  # tag -> (Exported, starts, imp, count)
 
     def __call__(self, window, modalities):
         return self._exported.call(self.params, jnp.asarray(window),
                                    jnp.asarray(modalities, jnp.int32))
 
+    def _volume_program(self, spatial, batch, overlap, mode):
+        """A matching whole-volume exported program, or None."""
+        for entry in self.meta.get("volume_programs", ()):
+            if (tuple(entry["spatial"]) == tuple(spatial)
+                    and entry["batch"] == batch and entry["mode"] == mode
+                    and abs(entry["overlap"] - overlap) < 1e-9):
+                tag = entry["tag"]
+                if tag not in self._volume_fns:
+                    if self._bundle_dir is None:
+                        return None
+                    from jax import export as jexport
+                    exp = jexport.deserialize(
+                        (self._bundle_dir / f"volume_{tag}.jax").read_bytes())
+                    aux = np.load(self._bundle_dir / f"volume_{tag}.npz")
+                    self._volume_fns[tag] = (
+                        exp, jnp.asarray(aux["starts"]),
+                        jnp.asarray(aux["imp"]), jnp.asarray(aux["count"]))
+                return self._volume_fns[tag]
+        return None
+
     def predict(self, volume, modalities, *, overlap: float | None = None,
                 mode: str = "gaussian"):
         """Sliding-window inference over a whole volume `[B, *spatial, C]`.
 
-        The imported program is traceable, so the inferer compiles its
-        usual single tile->predict->blend program around it.
+        Volumes whose (spatial shape, overlap, mode) match an exported
+        whole-volume program run through it — zero interior module
+        boundaries, live-model steady-state throughput.  Anything else
+        falls back to tracing the imported window program inside the
+        generic inferer (correct for every shape; ~0.83× on v5e).
         """
-        key = (float(self.meta["infer_overlap"] if overlap is None
-                     else overlap), mode)
+        ov = float(self.meta["infer_overlap"] if overlap is None else overlap)
+        vol = jnp.asarray(volume)
+        mods = jnp.asarray(modalities, jnp.int32)
+        prog = self._volume_program(tuple(vol.shape[1:-1]), vol.shape[0],
+                                    ov, mode)
+        if prog is not None:
+            exp, starts, imp, count = prog
+            return exp.call(self.params, vol.astype(jnp.float32), mods,
+                            starts, imp, count)
+        key = (ov, mode)
         if key not in self._inferers:
             self._inferers[key] = SlidingWindowInferer(
                 lambda pv, w, m: self._exported.call(pv, w, m),
@@ -152,8 +241,7 @@ class ServedModel:
                 sw_batch_size=int(self.meta["sw_batch_size"]),
                 overlap=key[0], mode=mode,
                 out_channels=int(self.meta["out_channels"]))
-        mods = jnp.asarray(modalities, jnp.int32)
-        return self._inferers[key](jnp.asarray(volume), mods, self.params)
+        return self._inferers[key](vol, mods, self.params)
 
 
 def load_bundle(bundle_dir: str | Path) -> ServedModel:
@@ -168,4 +256,4 @@ def load_bundle(bundle_dir: str | Path) -> ServedModel:
     exported = jexport.deserialize((d / _FN_FILE).read_bytes())
     params = load_checkpoint(d / _PARAMS_FILE)["params"]
     params = jax.tree.map(jnp.asarray, params)
-    return ServedModel(exported, params, meta)
+    return ServedModel(exported, params, meta, bundle_dir=d)

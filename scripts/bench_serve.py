@@ -59,9 +59,14 @@ def main() -> None:
     params = variables["params"]
 
     print("# exporting bundle ...", file=sys.stderr, flush=True)
+    # tpu-only lowering: cpu would double the (minutes-long) host
+    # tracing+lowering work for an artifact this bench never runs on cpu
     bundle_dir = export_bundle(cfg, params, tempfile.mkdtemp() + "/bundle",
-                               platforms=("tpu", "cpu"))
+                               platforms=("tpu",),
+                               volume_shapes=[vol_shape])
     served = load_bundle(bundle_dir)
+    assert served._volume_program(vol_shape, 1, cfg.infer_overlap,
+                                  "gaussian") is not None
 
     # live side: same bf16 policy the bundle bakes in
     bf16 = jax.tree.map(
@@ -99,8 +104,16 @@ def main() -> None:
         return n_windows / dt
 
     live_pps = measure(lambda: live(volume, modality), "live")
-    served_pps = measure(lambda: served.predict(volume, modality,
-                                                mode="gaussian"), "bundle")
+    # window arm: same bundle with the volume programs masked out — the
+    # imported window module re-traced inside the generic inferer
+    served_win = load_bundle(bundle_dir)
+    served_win.meta = dict(served_win.meta, volume_programs=[])
+    win_pps = measure(lambda: served_win.predict(volume, modality,
+                                                 mode="gaussian"),
+                      "bundle(window-level)")
+    vol_pps = measure(lambda: served.predict(volume, modality,
+                                             mode="gaussian"),
+                      "bundle(volume-level)")
     # spot-check outputs agree (bundle and live share the bf16 policy)
     a = np.asarray(served.predict(volume, modality, mode="gaussian"))
     b = np.asarray(live(volume, modality))
@@ -108,8 +121,10 @@ def main() -> None:
 
     print(json.dumps({
         "live_patches_per_sec": round(live_pps, 2),
-        "bundle_patches_per_sec": round(served_pps, 2),
-        "bundle_vs_live": round(served_pps / live_pps, 3),
+        "bundle_window_patches_per_sec": round(win_pps, 2),
+        "bundle_volume_patches_per_sec": round(vol_pps, 2),
+        "bundle_window_vs_live": round(win_pps / live_pps, 3),
+        "bundle_volume_vs_live": round(vol_pps / live_pps, 3),
         "max_abs_diff": max_diff,
         "n_windows": n_windows,
     }))

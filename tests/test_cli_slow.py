@@ -94,7 +94,13 @@ def test_export_cli_then_http_serve(env, tmp_path):
     bundle = export_cli.main(cfg.replace(ckpt_path=str(best),
                                          export_dir=str(tmp_path / "bundle"),
                                          export_platforms=["cpu"],
-                                         export_check=True))
+                                         export_check=True,
+                                         export_volume_shapes=["24x24x24"]))
+    # the canonical-shape volume program exported alongside the window fn
+    from miseg_tpu.serve import load_bundle
+    sm = load_bundle(bundle)
+    assert sm._volume_program((24, 24, 24), 1, cfg.infer_overlap,
+                              "gaussian") is not None
 
     from miseg_tpu.cli.serve import make_server
     srv = make_server(bundle, port=0)

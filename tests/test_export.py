@@ -118,3 +118,50 @@ def test_bundle_version_guard(tiny, tmp_path):
     (out / "meta.json").write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="newer"):
         load_bundle(out)
+
+
+def test_volume_level_export_fast_path(tiny, tmp_path):
+    """A whole-volume exported program serves matching shapes with zero
+    interior module boundaries (serve.py volume_programs); non-matching
+    shapes fall back to the window-level path.  Both must agree with the
+    live inferer."""
+    from miseg_tpu.inferers import SlidingWindowInferer
+
+    cfg, model, params = tiny
+    # 20^3 is deliberately NOT grid-aligned: exercises the symmetric
+    # pad + crop inside the exported program
+    out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",),
+                        volume_shapes=[(20, 20, 20)])
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["volume_programs"] == [{
+        "tag": "20x20x20", "spatial": [20, 20, 20], "batch": 1,
+        "mode": "gaussian", "overlap": cfg.infer_overlap}]
+    assert (out / "volume_20x20x20.jax").exists()
+    assert (out / "volume_20x20x20.npz").exists()
+
+    served = load_bundle(out)
+    rng = np.random.default_rng(3)
+    ref = SlidingWindowInferer(
+        lambda p, w, m: model.apply({"params": p}, w, m, train=False),
+        roi_size=cfg.roi, sw_batch_size=1, overlap=cfg.infer_overlap,
+        mode="gaussian", out_channels=cfg.out_channels)
+
+    # fast path: matching shape routes through the volume program
+    vol = rng.normal(size=(1, 20, 20, 20, 1)).astype(np.float32)
+    mods = np.ones((1,), np.int32)
+    assert served._volume_program((20, 20, 20), 1,
+                                  cfg.infer_overlap, "gaussian") is not None
+    got = np.asarray(served.predict(vol, mods))
+    want = np.asarray(ref(jnp.asarray(vol), jnp.asarray(mods), params))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # mismatches (shape / mode / overlap) fall back to the window path
+    assert served._volume_program((24, 24, 24), 1,
+                                  cfg.infer_overlap, "gaussian") is None
+    assert served._volume_program((20, 20, 20), 1,
+                                  cfg.infer_overlap, "constant") is None
+    assert served._volume_program((20, 20, 20), 1, 0.25, "gaussian") is None
+    vol2 = rng.normal(size=(1, 24, 24, 24, 1)).astype(np.float32)
+    got2 = np.asarray(served.predict(vol2, mods))
+    want2 = np.asarray(ref(jnp.asarray(vol2), jnp.asarray(mods), params))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
