@@ -35,8 +35,16 @@ def main(cfg: Config | None = None) -> str:
     params = load_any_checkpoint_params(cfg.ckpt_path or cfg.pretrained,
                                         variables["params"])
 
-    vol_shapes = [tuple(int(d) for d in s.lower().split("x"))
-                  for s in cfg.export_volume_shapes]
+    vol_shapes = []
+    for s in cfg.export_volume_shapes:
+        parts = s.lower().split("x")
+        if len(parts) != len(cfg.roi) or not all(
+                p.isdigit() and int(p) > 0 for p in parts):
+            raise ValueError(
+                f"--export_volume_shapes entry {s!r} must be "
+                f"{len(cfg.roi)} positive integers joined by 'x' "
+                f"(e.g. {'x'.join(['224'] * len(cfg.roi))})")
+        vol_shapes.append(tuple(int(p) for p in parts))
     out = export_bundle(cfg, params, cfg.export_dir,
                         platforms=tuple(cfg.export_platforms),
                         volume_shapes=vol_shapes)

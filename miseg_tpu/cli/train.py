@@ -25,6 +25,16 @@ def main(cfg: Config | None = None) -> None:
     cfg = cfg or parse_config()
     workdir = os.path.join(cfg.default_root_dir,
                            cfg.experiment_name or cfg.study_name)
+    if cfg.auto_scale_batch_size:
+        # trainer.tune's batch half — exception-wrapped like the
+        # reference's `try: trainer.tune(...)` (train.py:57-60)
+        try:
+            from ..train.tuner import scale_batch_size
+            bs = scale_batch_size(cfg)
+            print(f"auto_scale_batch_size: training at batch_size={bs}")
+            cfg = cfg.replace(batch_size=bs)
+        except Exception as e:  # noqa: BLE001 — parity with train.py:59
+            print(f"Tuning of batch size not possible: {e}")
     shard, num_shards = host_shard_info()
     data = MultiModalData(cfg, shard=shard, num_shards=num_shards)
     logger = MetricLogger(workdir, wandb_kwargs=(

@@ -129,6 +129,9 @@ class Config:
     check_val_every_n_epoch: int = 1
     no_gpu: bool = False
     no_amp: bool = False
+    # trainer.tune batch half (train.py:57-60 PTL Tuner): double the batch
+    # until a train step OOMs, back off, and train at the result
+    auto_scale_batch_size: bool = False
     iters_to_accumulate: int = 1
     default_root_dir: str = "./experiments"
     port: str = "23456"

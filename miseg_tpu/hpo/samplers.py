@@ -90,12 +90,20 @@ class TPESampler:
             # weighted category counts with add-one smoothing
             pg = np.bincount(good.astype(int), minlength=k) + 1.0
             pb = np.bincount(bad.astype(int), minlength=k) + 1.0
-            score = (pg / pg.sum()) / (pb / pb.sum())
-            return dist.choices[int(np.argmax(score))]
+            pg, pb = pg / pg.sum(), pb / pb.sum()
+            # sample FROM the smoothed l/g ratio distribution (not
+            # argmax over it): a dominated category keeps a small but
+            # non-zero draw probability, so exploration never locks out
+            # permanently after startup (Optuna's TPE keeps exploring
+            # through its smoothed proposal distribution the same way).
+            score = pg / pb
+            probs = score / score.sum()
+            return dist.choices[int(self.rng.choice(k, p=probs))]
 
         lo = dist.to_internal(dist.low)
         hi = dist.to_internal(dist.high)
         span = max(hi - lo, 1e-12)
+        bw_good = max(span * 1.06 * good.size ** -0.2, 1e-3 * span)
 
         def kde_logpdf(x, data):
             if data.size == 0:
@@ -105,10 +113,14 @@ class TPESampler:
             return (np.log(np.mean(np.exp(-0.5 * d * d), axis=1) + 1e-300)
                     - math.log(bw * math.sqrt(2 * math.pi)))
 
-        cands = self.rng.uniform(lo, hi, self.n_candidates)
-        # also seed candidates near good observations
-        cands = np.concatenate([cands, good + self.rng.normal(
-            0, 0.1 * span, good.size)])
+        # candidates drawn FROM l(x) (the good-KDE mixture: pick a good
+        # observation, jitter by its bandwidth — TPE's own proposal
+        # distribution), plus a small uniform floor for exploration
+        n_l = max(1, int(0.75 * self.n_candidates))
+        centers = good[self.rng.integers(good.size, size=n_l)]
+        cands = np.concatenate([
+            centers + self.rng.normal(0, bw_good, n_l),
+            self.rng.uniform(lo, hi, self.n_candidates - n_l)])
         cands = np.clip(cands, lo, hi)
         score = kde_logpdf(cands, good) - kde_logpdf(cands, bad)
         return dist.from_internal(float(cands[int(np.argmax(score))]))

@@ -207,13 +207,15 @@ class MetricAccumulator:
 # ------------------------------------------------- per-modality aggregation
 
 def metric_by_modality(vals: np.ndarray, modalities: np.ndarray,
-                       label: str = "dice", class_offset: int = 0) -> dict[str, float]:
+                       label: str = "dice", class_offset: int = 0,
+                       ns: str = "val") -> dict[str, float]:
     """Per-modality nan-aware per-class means + averages.
 
     Mirrors `log_metric_with_modality` (utils/trainer.py:258-288): for each
     modality m, batch-average valid entries per class, then average classes
     that had any valid sample.  Returns the reference's metric namespace:
-    `val_modality{m}_{label}/class{c}` and `..._{label}/avg`.
+    `val_modality{m}_{label}/class{c}` and `..._{label}/avg` (`ns` swaps
+    the `val` prefix so test runs don't overwrite validation history).
     """
     vals = np.asarray(vals, dtype=np.float64)
     modalities = np.asarray(modalities).reshape(-1)
@@ -222,8 +224,9 @@ def metric_by_modality(vals: np.ndarray, modalities: np.ndarray,
         v = vals[modalities == m]
         per_class, not_nans = reduce_mean_batch(v)
         for c, x in enumerate(per_class.tolist()):
-            out[f"val_modality{int(m)}_{label}/class{c + class_offset}"] = x
-        out[f"val_modality{int(m)}_{label}/avg"] = nanmean_valid(per_class, not_nans)
+            out[f"{ns}_modality{int(m)}_{label}/class{c + class_offset}"] = x
+        out[f"{ns}_modality{int(m)}_{label}/avg"] = nanmean_valid(per_class,
+                                                                  not_nans)
     return out
 
 

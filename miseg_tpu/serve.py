@@ -204,13 +204,24 @@ class ServedModel:
                 if tag not in self._volume_fns:
                     if self._bundle_dir is None:
                         return None
-                    from jax import export as jexport
-                    exp = jexport.deserialize(
-                        (self._bundle_dir / f"volume_{tag}.jax").read_bytes())
-                    aux = np.load(self._bundle_dir / f"volume_{tag}.npz")
-                    self._volume_fns[tag] = (
-                        exp, jnp.asarray(aux["starts"]),
-                        jnp.asarray(aux["imp"]), jnp.asarray(aux["count"]))
+                    try:
+                        from jax import export as jexport
+                        exp = jexport.deserialize(
+                            (self._bundle_dir
+                             / f"volume_{tag}.jax").read_bytes())
+                        aux = np.load(self._bundle_dir / f"volume_{tag}.npz")
+                        self._volume_fns[tag] = (
+                            exp, jnp.asarray(aux["starts"]),
+                            jnp.asarray(aux["imp"]), jnp.asarray(aux["count"]))
+                    except (FileNotFoundError, OSError) as e:
+                        # partially-copied bundle: meta lists a volume
+                        # program whose files are missing — degrade to the
+                        # always-correct window-level path
+                        import warnings
+                        warnings.warn(f"volume program {tag} unusable "
+                                      f"({e}); falling back to the "
+                                      "window-level inferer")
+                        self._volume_fns[tag] = None
                 return self._volume_fns[tag]
         return None
 

@@ -219,7 +219,10 @@ class Trainer:
     def train_step(self, state: TrainState, batch: dict) -> tuple[TrainState, float]:
         if self._train_step is None:
             self._train_step = self._build_train_step()
-            self._host_step = 0
+            # resume-safe dropout/augmentation rng: continue the fold_in
+            # stream from the restored step counter instead of replaying
+            # from 0 (one host sync, once per process)
+            self._host_step = int(jax.device_get(state.step))
         if self.mesh.devices.size > 1:
             arrs = {k: jnp.asarray(v) for k, v in batch.items()
                     if k in ("image", "label", "modality")}
@@ -353,11 +356,12 @@ class Trainer:
                    f"{prefix}/accuracy/avg": float(np.mean(vol_accs))}
         for c, v in enumerate(per_class.tolist()):
             metrics[f"{prefix}/accuracy/class_{c}"] = v
-            metrics[f"val_total_dice/class{c}"] = v
-        metrics["val_total_dice/avg"] = nanmean_valid(per_class, not_nans)
+            metrics[f"{prefix}_total_dice/class{c}"] = v
+        metrics[f"{prefix}_total_dice/avg"] = nanmean_valid(per_class, not_nans)
         if mods:
             mod_all = np.concatenate(mods)
-            metrics.update(metric_by_modality(dice_all, mod_all, "dice"))
+            metrics.update(metric_by_modality(dice_all, mod_all, "dice",
+                                              ns=prefix))
             accs = np.asarray(vol_accs)
             losses_arr = np.asarray(losses)
             for m in np.unique(mod_all):
@@ -371,11 +375,13 @@ class Trainer:
             sc, sn = reduce_mean_batch(surf_all)
             off = int(not cfg.include_background)
             for c, v in enumerate(sc.tolist()):
-                metrics[f"val_total_surface_distance/class{c + off}"] = v
-            metrics["val_total_surface_distance/avg"] = nanmean_valid(sc, sn)
+                metrics[f"{prefix}_total_surface_distance/class{c + off}"] = v
+            metrics[f"{prefix}_total_surface_distance/avg"] = \
+                nanmean_valid(sc, sn)
             if mods:
                 metrics.update(metric_by_modality(surf_all, np.concatenate(mods),
-                                                  "surface_distance", off))
+                                                  "surface_distance", off,
+                                                  ns=prefix))
         self.logger.log(metrics, step=epoch)
         return metrics
 
@@ -397,8 +403,12 @@ class Trainer:
         if cfg.ckpt_path:
             ck = load_checkpoint(cfg.ckpt_path, params_template=state.params,
                                  opt_state_template=state.opt_state)
-            state = state.replace(params=ck["params"],
-                                  opt_state=ck["opt_state"] or state.opt_state)
+            opt_state = ck["opt_state"] or state.opt_state
+            from .optim import optimizer_step_count
+            state = state.replace(
+                params=ck["params"], opt_state=opt_state,
+                step=jnp.asarray(optimizer_step_count(
+                    opt_state, cfg.iters_to_accumulate), jnp.int32))
             start_epoch = int(ck.get("epoch", 0)) + 1
             if ck.get("scheduler") and hasattr(self.scheduler, "plateau"):
                 self.scheduler.plateau.load_state_dict(ck["scheduler"])
@@ -410,19 +420,28 @@ class Trainer:
         best_acc = -np.inf
 
         from ..utils.profiling import profile_trace
+        global_step = int(jax.device_get(state.step))  # resume-continuous
         for epoch in range(start_epoch, cfg.max_epochs):
             if cfg.scheduler != "reduce_on_plateau":
                 lr = self.scheduler(epoch)
                 state = state.replace(
                     opt_state=set_learning_rate(state.opt_state, lr))
+            epoch_lr = current_learning_rate(state.opt_state)
             train_loader.set_epoch(epoch)
             t0 = time.time()
             epoch_losses = []
             trace_dir = cfg.profile_dir if epoch == start_epoch + 1 else None
             with profile_trace(trace_dir):
                 for batch in train_loader:
+                    # per-step lr trace (LearningRateMonitor
+                    # logging_interval="step", train.py:33-36) — lr is
+                    # host-side state, so this costs no device sync
+                    if global_step % max(1, cfg.log_every_n_steps) == 0:
+                        self.logger.log({"Charts/lr_step": epoch_lr},
+                                        step=global_step)
                     state, loss = self.train_step(state, batch)
                     epoch_losses.append(loss)
+                    global_step += 1
             state = self.flush_accumulation(state)
             train_loss = float(np.mean([float(l) for l in epoch_losses])) \
                 if epoch_losses else float("nan")

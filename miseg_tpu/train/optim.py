@@ -133,6 +133,21 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state
 
 
+def optimizer_step_count(opt_state, iters_to_accumulate: int = 1) -> int:
+    """Micro-steps taken so far, recovered from a (restored) opt state.
+
+    Used to resume `TrainState.step` — and with it the in-jit
+    `fold_in(key, step)` dropout stream — after a checkpoint load, so a
+    resumed run continues the rng sequence instead of replaying step 0.
+    """
+    if hasattr(opt_state, "gradient_step"):  # MultiSteps wrapper
+        return (int(opt_state.gradient_step) * max(1, iters_to_accumulate)
+                + int(opt_state.mini_step))
+    if hasattr(opt_state, "count"):  # inject_hyperparams state
+        return int(opt_state.count)
+    return 0
+
+
 def current_learning_rate(opt_state) -> float:
     inner = opt_state
     if hasattr(inner, "inner_opt_state"):

@@ -114,10 +114,13 @@ def main() -> None:
     vol_pps = measure(lambda: served.predict(volume, modality,
                                              mode="gaussian"),
                       "bundle(volume-level)")
-    # spot-check outputs agree (bundle and live share the bf16 policy)
+    # spot-check BOTH served arms against the live output (bundle and
+    # live share the bf16 policy) — each timed path is parity-certified
     a = np.asarray(served.predict(volume, modality, mode="gaussian"))
+    a_win = np.asarray(served_win.predict(volume, modality, mode="gaussian"))
     b = np.asarray(live(volume, modality))
     max_diff = float(np.abs(a - b).max())
+    max_diff_win = float(np.abs(a_win - b).max())
 
     print(json.dumps({
         "live_patches_per_sec": round(live_pps, 2),
@@ -126,6 +129,7 @@ def main() -> None:
         "bundle_window_vs_live": round(win_pps / live_pps, 3),
         "bundle_volume_vs_live": round(vol_pps / live_pps, 3),
         "max_abs_diff": max_diff,
+        "max_abs_diff_window_arm": max_diff_win,
         "n_windows": n_windows,
     }))
 

@@ -37,7 +37,9 @@ def test_train_cli_then_test_cli(env):
     best = root / "exp" / "s" / "best.ckpt"
     assert best.exists()
     metrics = test_cli.main(cfg.replace(ckpt_path=str(best)))
-    assert "val_total_surface_distance/class0" in metrics
+    # test runs use the test_ namespace (no overwrite of val history)
+    assert "test_total_surface_distance/class0" in metrics
+    assert not any(k.startswith("val_total") for k in metrics)
     assert np.isfinite(metrics["test/accuracy/avg"])
 
 

@@ -51,6 +51,34 @@ def test_int_and_categorical_types():
     assert t.suggest_int("n", 2, 5) == t.params["n"]
 
 
+def test_tpe_categorical_keeps_exploring_dominated_choice():
+    """Candidates are DRAWN from the smoothed good distribution (not
+    argmax over all categories), so a dominated category is still
+    occasionally proposed after startup — Optuna semantics."""
+    from miseg_tpu.hpo.samplers import TPESampler, _Dist
+    dist = _Dist("categorical", choices=["good", "bad"])
+    # 20 completed trials: "good" always wins, "bad" always loses
+    history = ([({"c": "good"}, 1.0)] * 10) + ([({"c": "bad"}, 0.0)] * 10)
+    sampler = TPESampler(seed=0, n_startup_trials=5, n_candidates=8)
+    draws = [sampler.sample("c", dist, history) for _ in range(300)]
+    n_bad = sum(d == "bad" for d in draws)
+    assert n_bad > 0, "dominated category locked out permanently"
+    assert n_bad < 150, "sampler ignores the good/bad split"
+
+
+def test_tpe_float_candidates_concentrate_near_good_region():
+    """Float candidates come from the good-KDE mixture l(x), so proposals
+    cluster near observed good points rather than uniformly."""
+    from miseg_tpu.hpo.samplers import TPESampler, _Dist
+    rng = np.random.default_rng(0)
+    dist = _Dist("float", low=0.0, high=100.0)
+    history = [({"x": float(7 + rng.normal(0, 0.5))}, 1.0) for _ in range(8)]
+    history += [({"x": float(rng.uniform(20, 100))}, 0.0) for _ in range(24)]
+    sampler = TPESampler(seed=1, n_startup_trials=5)
+    draws = [sampler.sample("x", dist, history) for _ in range(30)]
+    assert np.median(np.abs(np.asarray(draws) - 7.0)) < 10.0
+
+
 def test_asha_pruner_prunes_bad_trials():
     pruner = SuccessiveHalvingPruner(min_resource=2, reduction_factor=2)
     study = create_study(pruner=pruner)

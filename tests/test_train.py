@@ -251,7 +251,14 @@ def test_tiny_fit_end_to_end(tmp_path):
     assert int(state.step) == 2
     metrics = trainer.evaluate(MultiModalData(cfg).val_dataloader(), state)
     assert "val/accuracy/avg" in metrics
+    assert "val_total_dice/avg" in metrics
     assert (tmp_path / "exp" / "best.ckpt").exists()
+    # test-prefixed eval must NOT write into the val_* history namespaces
+    tm = trainer.evaluate(MultiModalData(cfg).val_dataloader(), state,
+                          prefix="test")
+    assert "test_total_dice/avg" in tm
+    assert "test_modality0_dice/avg" in tm
+    assert not any(k.startswith("val") for k in tm)
 
 
 def test_unet_freeze_mask_spares_decoder():
@@ -331,8 +338,12 @@ def test_fit_resume_from_checkpoint(tmp_path):
                   **base)
     t2 = Trainer(cfg2, workdir=str(tmp_path / "exp2"))
     state = t2.fit(MultiModalData(cfg2))
-    # resumed at epoch 2 → exactly 2 more epochs × 1 batch each
-    assert int(state.step) == 2
+    # resumed at epoch 2 with the step counter CONTINUED from the restored
+    # optimizer state (2 steps done) → 2 more epochs × 1 batch = 4 total.
+    # The continued counter is what keeps the in-jit fold_in(key, step)
+    # dropout stream from replaying steps 0..1 after a resume.
+    assert int(state.step) == 4
+    assert t2._host_step == 4  # rng stream resumed at 2, not 0
 
 
 def test_checkpoint_manager_topk_survives_resume(tmp_path, rng):
@@ -353,3 +364,49 @@ def test_checkpoint_manager_topk_survives_resume(tmp_path, rng):
     assert not any("0.5000" in n for n in names)
     assert any("0.9000" in n for n in names)
     assert "0.9000" in m2.best_path
+
+
+def test_scale_batch_size_power_mode():
+    """Doubles until OOM, backs off to the last fitting size; non-OOM
+    errors propagate; nothing-fits raises (PTL Tuner 'power' semantics,
+    reference train.py:57-60)."""
+    from miseg_tpu.train.tuner import scale_batch_size
+
+    calls = []
+
+    def fake_step(cfg, bs):
+        calls.append(bs)
+        if bs > 4:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM")
+
+    cfg = Config(batch_size=1)
+    assert scale_batch_size(cfg, step_fn=fake_step, verbose=False) == 4
+    assert calls == [1, 2, 4, 8]
+
+    def broken_step(cfg, bs):
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        scale_batch_size(cfg, step_fn=broken_step, verbose=False)
+
+    def never_fits(cfg, bs):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    with pytest.raises(RuntimeError, match="does not fit"):
+        scale_batch_size(cfg, step_fn=never_fits, verbose=False)
+
+    # max_trials caps the doubling when nothing ever OOMs
+    assert scale_batch_size(cfg, step_fn=lambda c, b: None, max_trials=3,
+                            verbose=False) == 4
+
+
+def test_scale_batch_size_runs_real_step(tmp_path):
+    """The default probe compiles + executes a real train step."""
+    from miseg_tpu.train.tuner import scale_batch_size
+    cfg = Config(model_name="unet", roi_x=8, roi_y=8, roi_z=8, out_channels=2,
+                 feature_size=[2], num_layers=2, strides=[2], num_res_units=0,
+                 encoder_norm_name="instance_cond", decoder_norm_name="instance",
+                 criterion="dice_ce", scheduler="none", no_amp=True,
+                 precision="fp32", batch_size=1,
+                 default_root_dir=str(tmp_path))
+    assert scale_batch_size(cfg, max_trials=2, verbose=False) == 2
