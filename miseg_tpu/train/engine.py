@@ -128,15 +128,53 @@ class Trainer:
         return (logits.astype(jnp.float32), extra_vars) if mutable \
             else logits.astype(jnp.float32)
 
+    def _pp_active(self) -> bool:
+        return (self.cfg.pipeline_parallel
+                and self.mesh.shape.get(self.cfg.pp_axis, 1) > 1)
+
+    def _pp_apply(self, params, image, modalities, extra_vars):
+        """PP train forward: UNETR's ViT as a GPipe over mesh[pp_axis]
+        (models/unetr_pp.py).  Params stay in the serial tree (replicated
+        masters; the stage stacking + placement happen in-graph), so
+        optimizer/checkpoint/eval paths are unchanged — eval runs the
+        serial forward on the same weights."""
+        from ..models.unetr import UNETR
+        from ..models.unetr_pp import unetr_pipeline_forward
+        if not isinstance(self.model, UNETR):
+            raise ValueError("pipeline_parallel supports the ViT-encoder "
+                             f"UNETR family; got {type(self.model).__name__}")
+        if extra_vars:
+            raise ValueError("pipeline_parallel does not support mutable "
+                             "collections (batch-stats norms)")
+        p = jax.tree.map(lambda x: x.astype(self.compute_dtype)
+                         if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                         params)
+        logits = unetr_pipeline_forward(
+            self.model, p, image.astype(self.compute_dtype), modalities,
+            mesh=self.mesh, microbatches=self.cfg.pp_microbatches,
+            axis=self.cfg.pp_axis,
+            data_axis="data" if "data" in self.mesh.axis_names else None,
+            train=True)
+        return logits.astype(jnp.float32)
+
     # -------------------------------------------------------------- state
 
     def init_state(self, sample_image: np.ndarray, sample_modality: np.ndarray,
-                   rng=None) -> TrainState:
-        rng = rng if rng is not None else jax.random.key(self.cfg.seed)
-        variables = dict(self.model.init({"params": rng},
-                                         jnp.asarray(sample_image),
-                                         jnp.asarray(sample_modality)))
-        params = variables.pop("params")
+                   rng=None, *, params=None, extra_vars=None) -> TrainState:
+        """Build the initial TrainState.  Pass `params` (host or device
+        tree from a previous init of the SAME model/config) to skip the
+        jitted flax init — e.g. when instantiating several Trainers over
+        different mesh layouts for the same weights (the multichip dry
+        run certifies 4 parallelism legs; re-initializing identically is
+        pure repeated compile cost)."""
+        if params is None:
+            rng = rng if rng is not None else jax.random.key(self.cfg.seed)
+            variables = dict(self.model.init({"params": rng},
+                                             jnp.asarray(sample_image),
+                                             jnp.asarray(sample_modality)))
+            params = variables.pop("params")
+        else:
+            variables = dict(extra_vars or {})
         self.tx = optimizer_from_config(
             self.cfg, params, getattr(self.model, "ENCODER_PREFIXES", ()))
         opt_state = self.tx.init(params)
@@ -200,6 +238,11 @@ class Trainer:
             rng = jax.random.fold_in(jax.random.key(seed), step_idx)
 
             def loss_of(params):
+                if self._pp_active():
+                    return (self.loss_fn(
+                        self._pp_apply(params, image, modality,
+                                       state.extra_vars), label),
+                        state.extra_vars)
                 logits, new_vars = self.apply_fn(
                     params, image, modality, train=True, rng=rng,
                     extra_vars=state.extra_vars, mutable=True)
