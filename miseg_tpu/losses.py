@@ -17,6 +17,26 @@ Re-implements the MONAI-1.1.0 loss surface the reference trains with
 All functions take channel-last logits `[B, *spatial, C]` and integer
 labels `[B, *spatial]` (or `[B, *spatial, 1]`), compute in float32, and
 are jit/grad-safe (pure, static shapes).
+
+TPU traffic design (round 4): the flagship train step moves ~2 GB of
+avoidable loss-graph bytes per 96³ patch when written the obvious way —
+a materialized f32 one-hot `[B, V, C]` feeding several fusions
+(`broadcast_select` 981 MB) and the stable-BCE `max(-x, 0)` chain whose
+forward+backward selects dominate (`pad_maximum` 736 MB ×2); see
+BASELINE.md round-3 train accounting.  These rewrites are numerically
+identical but give XLA a one-pass graph:
+
+  * the one-hot target is NEVER materialized — every reduction recomputes
+    the boolean `label == class` broadcast inline (labels are a 4-byte
+    `[B, V]` read; the compare lives in registers), and `Σ target² =
+    Σ target = per-class voxel count` because a one-hot is idempotent;
+  * focal's stable BCE collapses via the signed logit `s = (2t−1)·x`
+    (t ∈ {0,1} ⇒ `s = where(label==c, x, −x)`): `ce = softplus(−s)`,
+    `p = sigmoid(s)` — the same function as `max(x,0) − x·t +
+    log1p(exp(−|x|))` with one select instead of a maximum/exp/log chain
+    in forward AND backward;
+  * cross-entropy gathers the label logit as a masked minor-axis reduce
+    (fuses with logsumexp) instead of `take_along_axis`.
 """
 
 from __future__ import annotations
@@ -29,10 +49,22 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _one_hot(labels: Array, num_classes: int) -> Array:
+def _int_labels(labels: Array) -> Array:
+    """Accept [B, *spatial] or [B, *spatial, 1] integer labels."""
     if labels.ndim >= 2 and labels.shape[-1] == 1:
         labels = labels[..., 0]
-    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+    return labels.astype(jnp.int32)
+
+
+def _label_eq(labels: Array, num_classes: int, *, start: int = 0) -> Array:
+    """Boolean one-hot `[B, *spatial, C-start]`, left unfused for XLA.
+
+    This is deliberately NOT converted to float here: each consumer
+    reduction recomputes the compare from the tiny integer label tensor
+    inside its own fusion, so no `[B, V, C]` f32 target ever hits HBM.
+    """
+    classes = jnp.arange(start, num_classes, dtype=jnp.int32)
+    return _int_labels(labels)[..., None] == classes
 
 
 def _spatial_axes(x: Array) -> tuple[int, ...]:
@@ -44,39 +76,49 @@ def dice_loss(logits: Array, labels: Array, *, include_background: bool = True,
               smooth_dr: float = 1e-6, softmax: bool = True) -> Array:
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if softmax \
         else logits.astype(jnp.float32)
-    target = _one_hot(labels, logits.shape[-1])
+    start = 0 if include_background else 1
+    eq = _label_eq(labels, logits.shape[-1], start=start)
     if not include_background:
-        probs, target = probs[..., 1:], target[..., 1:]
+        probs = probs[..., 1:]
     axes = _spatial_axes(probs)
-    intersection = jnp.sum(probs * target, axis=axes)
+    intersection = jnp.sum(jnp.where(eq, probs, 0.0), axis=axes)
+    # one-hot ⇒ Σ t² = Σ t = per-class voxel count
+    tsum = jnp.sum(eq, axis=axes, dtype=jnp.float32)
     if squared_pred:
-        denom = jnp.sum(jnp.square(probs), axis=axes) + jnp.sum(jnp.square(target), axis=axes)
+        denom = jnp.sum(jnp.square(probs), axis=axes) + tsum
     else:
-        denom = jnp.sum(probs, axis=axes) + jnp.sum(target, axis=axes)
+        denom = jnp.sum(probs, axis=axes) + tsum
     f = 1.0 - (2.0 * intersection + smooth_nr) / (denom + smooth_dr)
     return jnp.mean(f)
 
 
 def focal_loss(logits: Array, labels: Array, *, include_background: bool = True,
                gamma: float = 2.0) -> Array:
-    """BCE-with-logits focal on raw per-class logits (MONAI 1.1.0 semantics)."""
-    target = _one_hot(labels, logits.shape[-1])
+    """BCE-with-logits focal on raw per-class logits (MONAI 1.1.0 semantics).
+
+    Signed-logit form: with t ∈ {0,1}, BCEWithLogits(x, t) =
+    softplus(−(2t−1)·x) and p = exp(−ce) = sigmoid((2t−1)·x) — exactly the
+    classic `max(x,0) − x·t + log1p(exp(−|x|))`, but one fused select.
+    """
     x = logits.astype(jnp.float32)
+    start = 0 if include_background else 1
+    eq = _label_eq(labels, logits.shape[-1], start=start)
     if not include_background:
-        x, target = x[..., 1:], target[..., 1:]
-    # numerically-stable BCE with logits
-    max_val = jnp.maximum(-x, 0.0)
-    ce = x - x * target + max_val + jnp.log(jnp.exp(-max_val) + jnp.exp(-x - max_val))
-    p = jnp.exp(-ce)
+        x = x[..., 1:]
+    s = jnp.where(eq, x, -x)
+    ce = jax.nn.softplus(-s)
+    p = jax.nn.sigmoid(s)
     return jnp.mean(jnp.power(1.0 - p, gamma) * ce)
 
 
 def cross_entropy_loss(logits: Array, labels: Array) -> Array:
     """Softmax cross-entropy on integer labels (torch CrossEntropyLoss mean)."""
-    if labels.ndim >= 2 and labels.shape[-1] == 1:
-        labels = labels[..., 0]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels.astype(jnp.int32)[..., None], axis=-1)
+    x = logits.astype(jnp.float32)
+    eq = _label_eq(labels, logits.shape[-1])
+    # label logit via masked minor-axis reduce: fuses with the logsumexp
+    # pass instead of a take_along_axis gather
+    x_at_label = jnp.sum(jnp.where(eq, x, 0.0), axis=-1)
+    nll = jax.nn.logsumexp(x, axis=-1) - x_at_label
     return jnp.mean(nll)
 
 
@@ -86,13 +128,14 @@ def generalized_dice_loss(logits: Array, labels: Array, *,
                           softmax: bool = True) -> Array:
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if softmax \
         else logits.astype(jnp.float32)
-    target = _one_hot(labels, logits.shape[-1])
+    start = 0 if include_background else 1
+    eq = _label_eq(labels, logits.shape[-1], start=start)
     if not include_background:
-        probs, target = probs[..., 1:], target[..., 1:]
+        probs = probs[..., 1:]
     axes = _spatial_axes(probs)
-    intersection = jnp.sum(probs * target, axis=axes)      # [B, C]
-    denominator = jnp.sum(probs, axis=axes) + jnp.sum(target, axis=axes)
-    ground_o = jnp.sum(target, axis=axes)
+    intersection = jnp.sum(jnp.where(eq, probs, 0.0), axis=axes)  # [B, C]
+    ground_o = jnp.sum(eq, axis=axes, dtype=jnp.float32)
+    denominator = jnp.sum(probs, axis=axes) + ground_o
     w = 1.0 / jnp.square(jnp.maximum(ground_o, 0.0) + 1e-38)
     # inf (empty class) → max finite weight in the same sample's row
     finite = ground_o > 0
