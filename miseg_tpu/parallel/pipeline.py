@@ -7,11 +7,12 @@ The reference has no PP (SURVEY §2.8 row "PP": absent; its only
 parallelism is DDP).  These segmentation models fit on one chip, so PP
 is not a parity requirement — it is the one mesh dimension the
 parallel/ family (DP `mesh.py`, FSDP `fsdp.py`, SP `spatial.py`, TP
-`tensor.py`) would otherwise lack, and the transformer encoders map to
-it exactly: UNETR consumes its ViT's hidden states after layers
-3/6/9/12 (models/unetr.py; reference networks/nets/unetr.py:254-276) —
-precisely the stage boundaries of a 4-stage pipeline, so `ys[s]` below
-IS the skip input for encoder s+1.
+`tensor.py`) would otherwise lack.  It is wired as a real `Trainer`
+mode: `Config.pipeline_parallel` GPipe-schedules UNETR's ViT encoder
+(models/unetr_pp.py).  UNETR consumes hidden states after blocks
+L/4, L/2, 3L/4 (reference networks/nets/unetr.py:254-276), which fall
+INSIDE stages in general — the `with_aux` channel below returns every
+in-stage layer output so the decoder can tap them for any stage count.
 
 Design (classic GPipe on an SPMD mesh):
 
@@ -73,7 +74,7 @@ def pipeline_spec(stacked_params, mesh: Mesh, axis: str = "pp"):
 
 def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
                    mesh: Mesh, axis: str = "pp", microbatches: int,
-                   data_axis: str | None = None):
+                   data_axis: str | None = None, with_aux: bool = False):
     """Run S pipeline stages over `x [B, ...]`, GPipe-scheduled.
 
     `stage_fn(stage_params, h, *extra_mb)` maps one activation microbatch
@@ -84,8 +85,13 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
     `modalities` vector) microbatched alongside `x`.
 
     Returns `ys [S, B, ...]`: the activation after every stage —
-    `ys[-1]` is the pipeline output; intermediate rows are the hidden
-    states UNETR-style decoders consume.
+    `ys[-1]` is the pipeline output.
+
+    With `with_aux=True`, `stage_fn` must return `(h, aux)` where `aux`
+    is `[k, *h.shape]` for a fixed k — e.g. `[layers_per_stage,
+    *h.shape]`, the per-LAYER outputs a UNETR-style decoder taps: hidden
+    state i lives at `aux_ys[i // per, i % per]`.  Returns `(ys, aux_ys)`
+    with `aux_ys [S, k, B, ...]` (the microbatch dim re-merged into B).
 
     With `data_axis`, runs hybrid DP x PP on a 2-D mesh: `x`/`extra`
     are sharded on the batch axis, params replicated across it.
@@ -96,6 +102,8 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
         raise ValueError("microbatches must be >= 1")
 
     bspec = P(data_axis) if data_axis else P()
+    out_spec = (P(axis, data_axis), P(axis, None, data_axis)) if with_aux \
+        else P(axis, data_axis)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -103,7 +111,7 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
                       lambda leaf: P(axis, *([None] * (np.ndim(leaf) - 1))),
                       stacked_params),
                   bspec, jax.tree.map(lambda _: bspec, extra)),
-        out_specs=P(axis, data_axis),
+        out_specs=out_spec,
         check_vma=False)
     def run(stacked, xb, extras):
         # local param slice: drop the sharded leading stage dim (=1 here)
@@ -121,10 +129,23 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
         # buffer slot m is the garbage bin for inactive ticks
         buf = jnp.zeros((m + 1, mb) + xb.shape[1:], x_mb.dtype)
         h0 = jnp.zeros((mb,) + xb.shape[1:], x_mb.dtype)
+        abuf = None
+        if with_aux:
+            h_spec = jax.ShapeDtypeStruct(h0.shape, h0.dtype)
+            e_spec = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), ex_mb)
+            _, aux_spec = jax.eval_shape(
+                lambda p, h, e: stage_fn(p, h, *e),
+                stage_params, h_spec, e_spec)
+            if aux_spec.shape[-h0.ndim:] != h0.shape or \
+                    len(aux_spec.shape) != h0.ndim + 1:
+                raise ValueError("aux must be [k, *h.shape], got "
+                                 f"{aux_spec.shape} for h {h0.shape}")
+            abuf = jnp.zeros((m + 1,) + aux_spec.shape, aux_spec.dtype)
         fwd_perm = [(i, i + 1) for i in range(n_stages - 1)]
 
         def tick(carry, t):
-            h_recv, out = carry
+            h_recv, out, aout = carry
             mi = t - s                      # this device's microbatch index
             active = (mi >= 0) & (mi < m)
             mc = jnp.clip(mi, 0, m - 1)
@@ -134,21 +155,33 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
                 lambda a: jax.lax.dynamic_index_in_dim(a, mc, 0,
                                                        keepdims=False),
                 ex_mb)
-            h_out = stage_fn(stage_params, h_in, *e_in)
+            if with_aux:
+                h_out, aux = stage_fn(stage_params, h_in, *e_in)
+            else:
+                h_out = stage_fn(stage_params, h_in, *e_in)
             if h_out.shape != h_in.shape or h_out.dtype != h_in.dtype:
                 raise ValueError("stage_fn must preserve activation "
                                  f"shape/dtype, got {h_out.shape} "
                                  f"{h_out.dtype} from {h_in.shape} "
                                  f"{h_in.dtype}")
-            out = jax.lax.dynamic_update_index_in_dim(
-                out, h_out, jnp.where(active, mc, m), 0)
+            slot = jnp.where(active, mc, m)
+            out = jax.lax.dynamic_update_index_in_dim(out, h_out, slot, 0)
+            if with_aux:
+                aout = jax.lax.dynamic_update_index_in_dim(aout, aux, slot, 0)
             h_next = jax.lax.ppermute(h_out, axis, fwd_perm)
-            return (h_next, out), None
+            return (h_next, out, aout), None
 
-        (_, buf), _ = jax.lax.scan(tick, (h0, buf),
-                                   jnp.arange(m + n_stages - 1))
+        (_, buf, abuf), _ = jax.lax.scan(tick, (h0, buf, abuf),
+                                         jnp.arange(m + n_stages - 1))
         ys = buf[:m]                          # [M, mb, ...]
         ys = ys.reshape((batch,) + ys.shape[2:])
+        if with_aux:
+            a = abuf[:m]                      # [M, *lead, mb, ...]
+            lead = a.shape[1:-1 - (len(xb.shape) - 1)]
+            # merge the microbatch dim back into batch: [*lead, B, ...]
+            a = jnp.moveaxis(a, 0, len(lead))   # [*lead, M, mb, ...]
+            a = a.reshape(lead + (batch,) + xb.shape[1:])
+            return ys[None], a[None]
         return ys[None]                       # [1(stage), local batch, ...]
 
     return run(stacked_params, x, extra)

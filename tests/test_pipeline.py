@@ -172,3 +172,97 @@ def test_hybrid_dp_pp(rng):
 def test_uneven_layers_rejected(rng):
     with pytest.raises(ValueError, match="do not split"):
         stack_stages(_layer_params(rng, 5, 4), 2)
+
+
+# ---------------------------------------------------------------- UNETR PP
+
+def _tiny_unetr(num_layers=4):
+    from miseg_tpu.models.unetr import UNETR
+    return UNETR(in_channels=1, out_channels=3, img_size=(32, 32, 32),
+                 feature_size=8, hidden_size=32, mlp_dim=64, num_heads=4,
+                 num_layers=num_layers,
+                 vit_norm=("instance_cond", {"num_styles": 2, "affine": True}),
+                 encoder_norm=("instance_cond",
+                               {"num_styles": 2, "affine": True}),
+                 decoder_norm=("instance", {"affine": True}))
+
+
+@pytest.mark.parametrize("n_pp", [2, 4])
+def test_unetr_pp_forward_matches_serial(rng, n_pp):
+    """Pipelined UNETR == serial UNETR, incl. the mid-stage hidden-state
+    taps (L=4 on 2 stages puts taps 1 and 3 INSIDE stages — the aux
+    channel, not stage boundaries)."""
+    from miseg_tpu.models.unetr_pp import unetr_pipeline_forward
+    model = _tiny_unetr()
+    mesh = make_mesh((8 // n_pp, n_pp), ("data", "pp"))
+    # per-device batch = 8 / n_dp must divide pp_microbatches=2
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 32, 1)), jnp.float32)
+    mods = jnp.asarray(np.arange(8) % 2, jnp.int32)
+    params = model.init({"params": jax.random.key(0)}, x[:1], mods[:1])["params"]
+    want = model.apply({"params": params}, x, mods)
+    got = unetr_pipeline_forward(model, params, x, mods, mesh=mesh,
+                                 microbatches=2, data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_unetr_pp_grads_match_serial(rng):
+    from miseg_tpu.models.unetr_pp import unetr_pipeline_forward
+    model = _tiny_unetr()
+    mesh = make_mesh((4, 2), ("data", "pp"))
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 32, 1)), jnp.float32)
+    mods = jnp.asarray(np.arange(8) % 2, jnp.int32)
+    params = model.init({"params": jax.random.key(0)}, x[:1], mods[:1])["params"]
+
+    def loss_pp(p):
+        return jnp.mean(unetr_pipeline_forward(
+            model, p, x, mods, mesh=mesh, microbatches=2,
+            data_axis="data") ** 2)
+
+    def loss_serial(p):
+        return jnp.mean(model.apply({"params": p}, x, mods) ** 2)
+
+    g_pp = jax.grad(loss_pp)(params)
+    g_serial = jax.grad(loss_serial)(params)
+    # f32 through two different program structures: near-zero elements
+    # carry O(1e-5) absolute reassociation noise
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5), g_pp, g_serial)
+
+
+def test_trainer_pipeline_parallel_loss_matches_dp(rng):
+    """`Config.pipeline_parallel` drives a REAL UNETR train step under
+    DP x PP; first-step loss must match the pure-DP trainer."""
+    import tempfile
+    from miseg_tpu.config import Config
+    from miseg_tpu.train.engine import Trainer
+
+    kw = dict(model_name="unetr", out_channels=3, feature_size=[8],
+              hidden_size=32, mlp_dim=64, num_heads=4,
+              roi_x=32, roi_y=32, roi_z=32,
+              vit_norm_name="instance_cond",
+              encoder_norm_name="instance_cond",
+              decoder_norm_name="instance", criterion="dice_focal",
+              optim_name="adamw", lr=1e-3)
+    image = np.asarray(rng.normal(size=(8, 32, 32, 32, 1)), np.float32)
+    label = np.asarray(rng.integers(0, 3, (8, 32, 32, 32)), np.int32)
+    mods = (np.arange(8) % 2).astype(np.int32)
+    batch = {"image": image, "label": label, "modality": mods}
+
+    t_dp = Trainer(Config(**kw), mesh=make_mesh((8,), ("data",)),
+                   workdir=tempfile.mkdtemp())
+    # UNETR pins num_layers=12 via the factory (reference parity) — too
+    # big for this test; swap in the tiny 4-layer model on both trainers
+    t_dp.model = _tiny_unetr()
+    s_dp = t_dp.init_state(image[:1], mods[:1])
+    params0 = jax.tree.map(np.asarray, jax.device_get(s_dp.params))
+    s_dp, loss_dp = t_dp.train_step(s_dp, batch)
+
+    t_pp = Trainer(Config(pipeline_parallel=True, pp_microbatches=2,
+                          mesh_shape=[2, 4], mesh_axes=["data", "pp"], **kw),
+                   mesh=make_mesh((2, 4), ("data", "pp")),
+                   workdir=tempfile.mkdtemp())
+    t_pp.model = _tiny_unetr()
+    s_pp = t_pp.init_state(image[:1], mods[:1], params=params0)
+    s_pp, loss_pp = t_pp.train_step(s_pp, batch)
+    np.testing.assert_allclose(float(loss_pp), float(loss_dp), rtol=1e-4)
