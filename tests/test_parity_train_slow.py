@@ -1,0 +1,39 @@
+"""Convergence-parity gate: the reference's OWN training loop vs ours.
+
+The north-star accuracy target (BASELINE.json: |Δdice| ≤ 0.5 pt) is
+certified by scripts/parity_train.py — the reference's raw engine
+(utils/trainer.py train_epoch/val_epoch, executed verbatim through
+compat/monai_train_stub) and our Trainer, started from the SAME
+torch-initialized weights (train/ref_import.py) on the SAME batch
+stream.  This slow test runs a short budget of that harness and gates
+the delta; the recorded full-budget table lives in PARITY_TRAIN.json /
+BASELINE.md.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+@pytest.mark.slow
+def test_reference_vs_ours_convergence_parity():
+    import parity_train
+
+    args = parity_train.argparse.Namespace(
+        epochs=3, eval_every=3, volumes=4, val_volumes=2, shape=32,
+        classes=4, feature_size=8, lr=1e-3, reg_weight=1e-5, warmup=1,
+        seed=0, out=None)
+    epochs, val = parity_train.make_data(args)
+    state0, ref_logits0, ref_hist = parity_train.run_reference(args, epochs,
+                                                               val)
+    fwd_diff, our_hist = parity_train.run_ours(args, epochs, val, state0,
+                                               ref_logits0)
+    # identical init + data + recipe: trajectories must track closely
+    assert fwd_diff < 2e-3
+    delta = our_hist[-1]["dice"] - ref_hist[-1]["dice"]
+    assert abs(delta) <= 0.005, (ref_hist, our_hist)
+    assert abs(our_hist[-1]["train_loss"] - ref_hist[-1]["train_loss"]) < 0.02
