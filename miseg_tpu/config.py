@@ -89,6 +89,10 @@ class Config:
     infer_overlap: float = 0.5
     sw_batch_size: int = 1
     infer_cpu: bool = False
+    # per-window-group progress ticks (reference predict_whs.py:78
+    # `progress=True`); off by default — on the jitted device path each
+    # tick is an async host callback, a round-trip on remote backends
+    infer_progress: bool = False
     # early stop
     patience: int = 6
     min_delta: float = 0.001

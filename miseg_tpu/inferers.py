@@ -163,7 +163,8 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
                          grid: tuple[int, ...], roi: tuple[int, ...],
                          interval: tuple[int, ...],
                          out_channels: int, mesh=None,
-                         batch_windows: bool = False) -> Array:
+                         batch_windows: bool = False,
+                         progress_cb: Callable | None = None) -> Array:
     """Static overlap-add blend for regular-stride window grids.
 
     The scan/dynamic-update-slice accumulator in `_sw_core` is correct but
@@ -213,6 +214,12 @@ def _sw_core_overlap_add(predict_fn: Callable, x: Array,
                 logits = predict_fn(flat, mods).astype(jnp.float32)
                 logits = logits.reshape(k, b, *roi, out_channels)
             logits = logits * imp[None]
+            if progress_cb is not None:
+                # opt-in per-group tick (reference predict_whs.py:78
+                # `progress=True`); unordered so it never serializes the
+                # scan — costs one host round-trip per group on remote
+                # backends, which is why it is off by default
+                jax.debug.callback(progress_cb, ordered=False)
             return None, logits
 
         return jax.lax.scan(step, None, starts)[1]
@@ -301,10 +308,14 @@ class SlidingWindowInferer:
         # inference-scaling capability with no reference analog.
         self.mesh = mesh
         self.batch_windows = bool(batch_windows)
-        # `progress` shows a tqdm bar on the host-stitch path (the
-        # reference's predict_whs.py:78 behavior); the fully-jitted device
-        # path is one program and has no per-window host visibility.
+        # `progress` (reference predict_whs.py:78): tqdm on the host-stitch
+        # path; on the fully-jitted device path an unordered
+        # `jax.debug.callback` ticks once per window group (not exported
+        # into AOT bundles, disabled under mesh fan-out). Off by default —
+        # each tick is a host round-trip on remote backends.
         self.progress = progress
+        self._progress_done = 0
+        self._progress_total = 0
         self.predict_fn = predict_fn
         self.roi_size = tuple(roi_size)
         self.sw_batch_size = int(sw_batch_size)
@@ -337,7 +348,18 @@ class SlidingWindowInferer:
             return self.predict_fn
         return lambda w, m: self.predict_fn(p, w, m)
 
-    def program(self, spatial: Sequence[int]):
+    def _progress_tick(self):
+        """Host-side tick fired by the in-jit `jax.debug.callback` once per
+        window group (async, unordered — counts may arrive out of order but
+        the total is exact once the program finishes)."""
+        import sys
+        self._progress_done += 1
+        sys.stderr.write(
+            f"\r[sliding-window] {self._progress_done}/{self._progress_total}"
+            + ("\n" if self._progress_done >= self._progress_total else ""))
+        sys.stderr.flush()
+
+    def program(self, spatial: Sequence[int], _progress_cb=None):
         """Build the jittable volume program for a `spatial` (pre-pad) shape.
 
         Returns `(full, starts, imp, count)` where
@@ -373,7 +395,8 @@ class SlidingWindowInferer:
                                        interval=interval,
                                        out_channels=out_ch,
                                        mesh=self.mesh,
-                                       batch_windows=self.batch_windows)
+                                       batch_windows=self.batch_windows,
+                                       progress_cb=_progress_cb)
             crop = tuple(slice(q[0], q[0] + s)
                          for q, s in zip(pads[1:-1], spatial))
             return out[(slice(None), *crop, slice(None))]
@@ -409,13 +432,19 @@ class SlidingWindowInferer:
         # crop.  Everything per-call is inside the jit (eager ops would cost
         # a dispatch round trip each on remote backends), and the big blend
         # arrays are cached device ARGUMENTS, not baked HLO constants.
+        want_progress = (self.progress
+                         and (self.mesh is None or self.mesh.devices.size == 1))
         key = (spatial, padded, inputs.shape[0], inputs.shape[-1],
-               self.sw_batch_size)
+               self.sw_batch_size, want_progress)
         if key not in self._jitted:
-            full, starts, imp, count = self.program(spatial)
+            cb = self._progress_tick if want_progress else None
+            full, starts, imp, count = self.program(spatial, _progress_cb=cb)
             self._jitted[key] = (jax.jit(full), jnp.asarray(starts),
                                  jnp.asarray(imp), jnp.asarray(count))
         fn, starts, imp, count = self._jitted[key]
+        if want_progress:
+            self._progress_done = 0
+            self._progress_total = int(starts.shape[0])
         return fn(params, inputs, modalities, starts, imp, count)
 
     def _overlap_count(self, grid, roi, interval) -> np.ndarray:

@@ -329,6 +329,7 @@ class Trainer:
                 roi_size=cfg.roi, sw_batch_size=cfg.sw_batch_size,
                 overlap=cfg.infer_overlap, mode=mode,
                 out_channels=cfg.out_channels, stitch_on_host=cfg.infer_cpu,
+                progress=cfg.infer_progress,
                 mesh=mesh)  # windows fan out across the mesh when present
         return self._inferer
 

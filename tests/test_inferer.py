@@ -189,3 +189,30 @@ def test_true_batch_windows_matches_serial(rng):
     serial = SlidingWindowInferer(predict, **kw)(vol, mods)
     batched = SlidingWindowInferer(predict, batch_windows=True, **kw)(vol, mods)
     assert np.allclose(np.asarray(serial), np.asarray(batched), atol=1e-5)
+
+
+def test_progress_ticks_on_jitted_path(rng, capsys):
+    """progress=True on the fully-jitted device path fires one unordered
+    debug-callback tick per window group and leaves outputs untouched
+    (reference predict_whs.py:78 `progress=True` parity)."""
+    def predict(w, m):
+        return jnp.concatenate([w, -w], axis=-1)
+
+    vol = jnp.asarray(rng.standard_normal((1, 20, 20, 20, 1)), jnp.float32)
+    kw = dict(roi_size=(8, 8, 8), overlap=0.25, mode="gaussian",
+              out_channels=2)
+    silent = SlidingWindowInferer(predict, **kw)
+    loud = SlidingWindowInferer(predict, progress=True, **kw)
+    a = np.asarray(silent(vol))
+    b = np.asarray(loud(vol))
+    jax.effects_barrier()  # drain the async callbacks before asserting
+    assert np.array_equal(a, b)
+    assert loud._progress_done == loud._progress_total > 0
+    # exports must stay callback-free (AOT bundles can't serialize them)
+    full, *_ = loud.program((20, 20, 20))
+    import jax as _jax
+    hlo = _jax.jit(full).lower(
+        None, jnp.zeros((1, 20, 20, 20, 1), jnp.float32), None,
+        jnp.zeros((27, 1, 3), jnp.int32), jnp.zeros((8, 8, 8), jnp.float32),
+        jnp.zeros((1, 24, 24, 24, 1), jnp.float32)).as_text()
+    assert "custom_call" not in hlo or "callback" not in hlo
