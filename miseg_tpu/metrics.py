@@ -63,6 +63,43 @@ def dice_score(pred_onehot: Array, target_onehot: Array, *,
     return jnp.where(denom > 0, dice, 1.0)
 
 
+def dice_score_labels(pred_labels: Array, target_labels: Array,
+                      num_classes: int, *, include_background: bool = True,
+                      ignore_empty: bool = True) -> Array:
+    """`dice_score` directly from integer label maps → `[B, C]`.
+
+    Identical to `dice_score(one_hot(pred), one_hot(target))` but never
+    materializes the `[B, *spatial, C]` f32 one-hots: with C=6 those are
+    lane-padded 6 → 128 on TPU (a 224³ one-hot is 270 MB logical but
+    5.7 GB physical, ×2 tensors).  The class axis is a STATIC host loop
+    (C is tiny): each class costs one fused compare+reduce pass over the
+    two integer maps in their natural layout — no transposed/flat-minor
+    relayout, which measured as a TPU compile pathology on the loss side
+    (BASELINE.md round-4 layout experiment).  Used by the jitted
+    eval-metrics program (train/engine.py).
+    """
+    start = 0 if include_background else 1
+    b = pred_labels.shape[0]
+    axes = tuple(range(1, pred_labels.ndim))
+    p = pred_labels.astype(jnp.int32)
+    t = target_labels.astype(jnp.int32)
+    inter_c, t_c, p_c = [], [], []
+    for c in range(start, num_classes):
+        pe = p == c
+        te = t == c
+        inter_c.append(jnp.sum(pe & te, axis=axes, dtype=jnp.float32))
+        t_c.append(jnp.sum(te, axis=axes, dtype=jnp.float32))
+        p_c.append(jnp.sum(pe, axis=axes, dtype=jnp.float32))
+    intersection = jnp.stack(inter_c, axis=-1)  # [B, C]
+    t_o = jnp.stack(t_c, axis=-1)
+    p_o = jnp.stack(p_c, axis=-1)
+    denom = t_o + p_o
+    dice = 2.0 * intersection / jnp.maximum(denom, 1e-38)
+    if ignore_empty:
+        return jnp.where(t_o > 0, dice, jnp.nan)
+    return jnp.where(denom > 0, dice, 1.0)
+
+
 def generalized_dice_score(pred_onehot: Array, target_onehot: Array, *,
                            include_background: bool = True,
                            weight_type: str = "square") -> Array:

@@ -74,14 +74,59 @@ def _stats_matmul(x: Array, eps: float):
     return mean.reshape(shape), inv.reshape(shape)
 
 
+def _use_packed_stats() -> bool:
+    env = os.environ.get("MISEG_PACKED_STATS", "").strip().lower()
+    if env:
+        return env not in ("0", "false", "off")
+    return False  # measured e2e — see _stats_packed docstring / BASELINE.md
+
+
+def _stats_packed(x: Array, eps: float):
+    """Instance-norm stats over a 128-lane-packed flat view (round-4
+    layout experiment, VERDICT r3 #9).
+
+    The big per-channel stat fusions crawl at 56–92 GB/s because the
+    reduce emitter works lane-minor over C=48 of a 128-wide tile (2.67×
+    padded traffic, multi-pass).  This variant pays ONE relayout copy —
+    `[B, S, C] → [B, S·C/P, P]` with `P = lcm(C, 128)` — after which
+    every lane is live: lane `l` of EVERY row holds channel `l % C`
+    (P is a multiple of C), so per-channel sums are a full-bandwidth
+    major-axis reduce to `[B, P]` followed by a tiny `[P, C]` indicator
+    fold.  Numerically identical to `_stats` (f32 accumulation, same
+    E[x²]−E[x]² variance).
+
+    E2E verdict on v5e: see BASELINE.md round-4 "layout experiment" row
+    (kill bar: < +5% e2e ⇒ default stays off).
+    """
+    b, c = x.shape[0], x.shape[-1]
+    s = math.prod(x.shape[1:-1])
+    pack = (128 * c) // math.gcd(c, 128)  # lcm(C, 128)
+    xp = x.reshape(b, (s * c) // pack, pack)
+    col = jnp.sum(xp, axis=1, dtype=jnp.float32)              # [B, P]
+    colsq = jnp.sum(jnp.square(xp.astype(jnp.float32)), axis=1)
+    fold = ((jnp.arange(pack) % c)[:, None] == jnp.arange(c)
+            ).astype(jnp.float32)                             # [P, C]
+    mean = (col @ fold) / s
+    var = (colsq @ fold) / s - jnp.square(mean)
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    return mean.reshape(shape), inv.reshape(shape)
+
+
 def _stats(x: Array, axes, eps: float):
     """Mean/inv-std over `axes` in float32."""
     axes_n = tuple(sorted(a % x.ndim for a in
                           (axes if isinstance(axes, (tuple, list)) else (axes,))))
-    if (axes_n == tuple(range(1, x.ndim - 1)) and x.ndim >= 4
-            and math.prod(x.shape[1:-1]) >= (1 << 15)
-            and x.shape[-1] <= 256 and _use_matmul_stats()):
+    is_instance_axes = (axes_n == tuple(range(1, x.ndim - 1)) and x.ndim >= 4
+                        and math.prod(x.shape[1:-1]) >= (1 << 15)
+                        and x.shape[-1] <= 256)
+    if is_instance_axes and _use_matmul_stats():
         return _stats_matmul(x, eps)
+    if is_instance_axes and _use_packed_stats():
+        c = x.shape[-1]
+        pack = (128 * c) // math.gcd(c, 128)
+        if pack <= 1024 and (math.prod(x.shape[1:-1]) * c) % pack == 0:
+            return _stats_packed(x, eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(mean)

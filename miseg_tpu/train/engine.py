@@ -39,8 +39,8 @@ from ..config import Config
 from ..inferers import SlidingWindowInferer
 from ..losses import loss_from_config
 from ..metrics import (MetricAccumulator, as_discrete, dice_score,
-                       metric_by_modality, nanmean_valid, reduce_mean_batch,
-                       surface_distance)
+                       dice_score_labels, metric_by_modality, nanmean_valid,
+                       reduce_mean_batch, surface_distance)
 from ..models import model_from_config
 from ..parallel import make_mesh, replicated_sharding, shard_batch
 from ..utils.logging import MetricLogger
@@ -348,9 +348,10 @@ class Trainer:
             per_vol_loss = jax.vmap(
                 lambda lg, lb: self.loss_fn(lg[None], lb[None]))(logits, label)
             pred_labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            pred = jax.nn.one_hot(pred_labels, out_channels, dtype=jnp.float32)
-            targ = as_discrete(label, to_onehot=out_channels)
-            dice = dice_score(pred, targ, include_background=True)
+            # label-map dice: the one-hot pair it replaces is 21x
+            # lane-padded on TPU (2 x 5.7 GB physical per 224^3 volume)
+            dice = dice_score_labels(pred_labels, label, out_channels,
+                                     include_background=True)
             return per_vol_loss, dice, pred_labels
 
         return jax.jit(fn)

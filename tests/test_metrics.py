@@ -100,3 +100,23 @@ def test_as_discrete_argmax_onehot(rng):
     out = metrics.as_discrete(jnp.asarray(x), argmax=True, to_onehot=3)
     assert out.shape == (2, 4, 4, 4, 3)
     assert np.allclose(np.asarray(out).sum(-1), 1.0)
+
+
+@pytest.mark.parametrize("include_background", [True, False])
+@pytest.mark.parametrize("ignore_empty", [True, False])
+def test_dice_score_labels_matches_onehot(include_background, ignore_empty):
+    """The label-map dice (no one-hot materialization) must be NaN-for-NaN
+    identical to dice_score(one_hot, one_hot) on random label maps."""
+    import jax
+    rng = np.random.default_rng(3)
+    c = 4
+    pred = rng.integers(0, c, (2, 6, 5, 4)).astype(np.int32)
+    targ = rng.integers(0, c, (2, 6, 5, 4)).astype(np.int32)
+    targ[1][targ[1] == 3] = 0  # sample 1: class 3 absent in GT
+    pred[1][pred[1] == 3] = 1  # ...and in pred (denom==0 case)
+    kw = dict(include_background=include_background, ignore_empty=ignore_empty)
+    want = np.asarray(metrics.dice_score(
+        jax.nn.one_hot(pred, c), jax.nn.one_hot(targ, c), **kw))
+    got = np.asarray(metrics.dice_score_labels(
+        jnp.asarray(pred), jnp.asarray(targ), c, **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)

@@ -109,3 +109,41 @@ def test_batch_norm_running_stats(rng):
     assert y.shape == x.shape
     # running mean moved toward batch mean
     assert not np.allclose(np.asarray(mutated["batch_stats"]["mean"]), 0.0)
+
+
+def test_packed_stats_matches_baseline(rng):
+    """`_stats_packed` (128-lane relayout, round-4 layout experiment) must be
+    numerically identical to the plain reduction for every packable shape."""
+    for shape in [(2, 8, 4, 4, 48), (1, 16, 8, 8, 2), (2, 4, 8, 4, 13)]:
+        c = shape[-1]
+        pack = (128 * c) // np.gcd(c, 128)
+        s = int(np.prod(shape[1:-1]))
+        assert (s * c) % pack == 0, "test shape must be packable"
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 3 + 1)
+        mean_p, inv_p = N._stats_packed(x, eps=1e-5)
+        axes = tuple(range(1, x.ndim - 1))
+        mean_b, inv_b = N._stats(x, axes, eps=1e-5)
+        np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_b),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(inv_p), np.asarray(inv_b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_stats_gate_and_grad(rng, monkeypatch):
+    """With MISEG_PACKED_STATS=1 the full instance norm (value AND gradient)
+    must match the default path on a gate-eligible shape (spatial >= 2^15)."""
+    monkeypatch.delenv("MISEG_PACKED_STATS", raising=False)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 4)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+
+    def loss(xx, gg, bb):
+        return jnp.sum(jnp.square(N.instance_norm(xx, gg, bb)))
+
+    base_val, base_grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, g, b)
+    monkeypatch.setenv("MISEG_PACKED_STATS", "1")
+    pack_val, pack_grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, g, b)
+    np.testing.assert_allclose(float(pack_val), float(base_val), rtol=1e-5)
+    for gp, gb in zip(pack_grads, base_grads):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)
