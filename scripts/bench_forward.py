@@ -23,7 +23,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 _OFF = {"MISEG_PALLAS_NORM": "0", "MISEG_PALLAS_ATTN": "0",
-        "MISEG_PALLAS_CONV": "0"}
+        "MISEG_PALLAS_CONV": "0", "MISEG_PACKED_STATS": "0"}
 VARIANTS = {
     "xla": _OFF,
     "norm": {**_OFF, "MISEG_PALLAS_NORM": "1"},
@@ -31,6 +31,10 @@ VARIANTS = {
     "conv": {**_OFF, "MISEG_PALLAS_CONV": "1"},
     "conv+attn": {**_OFF, "MISEG_PALLAS_CONV": "1", "MISEG_PALLAS_ATTN": "1"},
     "both": {**_OFF, "MISEG_PALLAS_NORM": "1", "MISEG_PALLAS_ATTN": "1"},
+    # round-4 layout experiment: instance-norm stats over a 128-lane-packed
+    # flat view (ops/norms.py::_stats_packed) instead of the lane-minor C=48
+    # reduce — kill bar < +5% e2e (VERDICT r3 #9)
+    "packed": {**_OFF, "MISEG_PACKED_STATS": "1"},
 }
 
 
