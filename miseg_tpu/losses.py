@@ -37,16 +37,37 @@ identical but give XLA a one-pass graph:
     in forward AND backward;
   * cross-entropy gathers the label logit as a masked minor-axis reduce
     (fuses with logsumexp) instead of `take_along_axis`.
+
+Round-4 accounting epilogue: those rewrites cut logical ops but NOT
+physical bytes — with C=6 lane-padded 6→128, every `[B, V, C]` f32 pass
+still moves ~453 MB of tiles (the new `where(eq, x, −x)` select shows up
+as the same 981 MB fusion the one-hot select did).  The remaining lever
+is LAYOUT, not op count: `MISEG_CM_LOSS=1` computes every loss
+channel-major — `[B, C, V]`, where C pads 6→8 on sublanes (1.33×)
+instead of 6→128 on lanes (21×) and the flattened V=96³ is lane-dense —
+for ~16× less physical traffic per loss pass, at the price of one
+boundary relayout each way (fwd transpose + grad transpose at the conv
+output).  Numerically identical (same f32 math per element; reduction
+order differs ⇒ ≤1 ulp-scale noise).  E2E verdict: BASELINE.md round-4
+table.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _use_channel_major() -> bool:
+    env = os.environ.get("MISEG_CM_LOSS", "").strip().lower()
+    if env:
+        return env not in ("0", "false", "off")
+    return False  # pending the e2e TPU verdict — see BASELINE.md round 4
 
 
 def _int_labels(labels: Array) -> Array:
@@ -71,23 +92,51 @@ def _spatial_axes(x: Array) -> tuple[int, ...]:
     return tuple(range(1, x.ndim - 1))
 
 
+def _layout(logits: Array, labels: Array, start: int):
+    """Loss working layout: `(x_f32, eq_bool, class_axis, spatial_axes,
+    slice_c)`.
+
+    Default: channel-last as given — `x = [B, *spatial, C]`, class axis −1.
+    `MISEG_CM_LOSS=1`: channel-major — `x = [B, C, V]` with spatial dims
+    flattened to a lane-dense minor axis (V = Π spatial ≫ 128) and C on
+    sublanes.  Class-axis reductions (softmax / logsumexp / the label
+    gather) become tiny sublane reduces; spatial reductions are
+    full-bandwidth lane-axis reduces; elementwise passes stop paying the
+    6→128 lane padding.  The transpose itself fuses with the f32 upcast
+    at the conv-output boundary.
+
+    `x` keeps ALL classes (softmax consumers slice AFTER normalizing, as
+    MONAI does); `eq` covers classes `start..C`; `slice_c` drops the
+    first `start` classes along the class axis of an x-layout tensor.
+    """
+    c = logits.shape[-1]
+    lab = _int_labels(labels)
+    classes = jnp.arange(start, c, dtype=jnp.int32)
+    if _use_channel_major() and logits.ndim >= 3:
+        b = logits.shape[0]
+        x = jnp.moveaxis(logits, -1, 1).reshape(b, c, -1).astype(jnp.float32)
+        eq = lab.reshape(b, 1, -1) == classes[:, None]
+        return x, eq, 1, (2,), (lambda a: a[:, start:] if start else a)
+    x = logits.astype(jnp.float32)
+    eq = lab[..., None] == classes
+    return (x, eq, -1, tuple(range(1, x.ndim - 1)),
+            (lambda a: a[..., start:] if start else a))
+
+
 def dice_loss(logits: Array, labels: Array, *, include_background: bool = True,
               squared_pred: bool = True, smooth_nr: float = 0.0,
               smooth_dr: float = 1e-6, softmax: bool = True) -> Array:
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if softmax \
-        else logits.astype(jnp.float32)
     start = 0 if include_background else 1
-    eq = _label_eq(labels, logits.shape[-1], start=start)
-    if not include_background:
-        probs = probs[..., 1:]
-    axes = _spatial_axes(probs)
-    intersection = jnp.sum(jnp.where(eq, probs, 0.0), axis=axes)
+    x, eq, caxis, saxes, slice_c = _layout(logits, labels, start)
+    probs = jax.nn.softmax(x, axis=caxis) if softmax else x
+    probs = slice_c(probs)
+    intersection = jnp.sum(jnp.where(eq, probs, 0.0), axis=saxes)   # [B, C]
     # one-hot ⇒ Σ t² = Σ t = per-class voxel count
-    tsum = jnp.sum(eq, axis=axes, dtype=jnp.float32)
+    tsum = jnp.sum(eq, axis=saxes, dtype=jnp.float32)
     if squared_pred:
-        denom = jnp.sum(jnp.square(probs), axis=axes) + tsum
+        denom = jnp.sum(jnp.square(probs), axis=saxes) + tsum
     else:
-        denom = jnp.sum(probs, axis=axes) + tsum
+        denom = jnp.sum(probs, axis=saxes) + tsum
     f = 1.0 - (2.0 * intersection + smooth_nr) / (denom + smooth_dr)
     return jnp.mean(f)
 
@@ -100,12 +149,9 @@ def focal_loss(logits: Array, labels: Array, *, include_background: bool = True,
     softplus(−(2t−1)·x) and p = exp(−ce) = sigmoid((2t−1)·x) — exactly the
     classic `max(x,0) − x·t + log1p(exp(−|x|))`, but one fused select.
     """
-    x = logits.astype(jnp.float32)
     start = 0 if include_background else 1
-    eq = _label_eq(labels, logits.shape[-1], start=start)
-    if not include_background:
-        x = x[..., 1:]
-    s = jnp.where(eq, x, -x)
+    x, eq, _, _, slice_c = _layout(logits, labels, start)
+    s = jnp.where(eq, slice_c(x), -slice_c(x))
     ce = jax.nn.softplus(-s)
     p = jax.nn.sigmoid(s)
     return jnp.mean(jnp.power(1.0 - p, gamma) * ce)
@@ -113,12 +159,11 @@ def focal_loss(logits: Array, labels: Array, *, include_background: bool = True,
 
 def cross_entropy_loss(logits: Array, labels: Array) -> Array:
     """Softmax cross-entropy on integer labels (torch CrossEntropyLoss mean)."""
-    x = logits.astype(jnp.float32)
-    eq = _label_eq(labels, logits.shape[-1])
-    # label logit via masked minor-axis reduce: fuses with the logsumexp
+    x, eq, caxis, _, _ = _layout(logits, labels, 0)
+    # label logit via masked class-axis reduce: fuses with the logsumexp
     # pass instead of a take_along_axis gather
-    x_at_label = jnp.sum(jnp.where(eq, x, 0.0), axis=-1)
-    nll = jax.nn.logsumexp(x, axis=-1) - x_at_label
+    x_at_label = jnp.sum(jnp.where(eq, x, 0.0), axis=caxis)
+    nll = jax.nn.logsumexp(x, axis=caxis) - x_at_label
     return jnp.mean(nll)
 
 
@@ -126,16 +171,13 @@ def generalized_dice_loss(logits: Array, labels: Array, *,
                           include_background: bool = True,
                           smooth_nr: float = 0.0, smooth_dr: float = 1e-6,
                           softmax: bool = True) -> Array:
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if softmax \
-        else logits.astype(jnp.float32)
     start = 0 if include_background else 1
-    eq = _label_eq(labels, logits.shape[-1], start=start)
-    if not include_background:
-        probs = probs[..., 1:]
-    axes = _spatial_axes(probs)
-    intersection = jnp.sum(jnp.where(eq, probs, 0.0), axis=axes)  # [B, C]
-    ground_o = jnp.sum(eq, axis=axes, dtype=jnp.float32)
-    denominator = jnp.sum(probs, axis=axes) + ground_o
+    x, eq, caxis, saxes, slice_c = _layout(logits, labels, start)
+    probs = jax.nn.softmax(x, axis=caxis) if softmax else x
+    probs = slice_c(probs)
+    intersection = jnp.sum(jnp.where(eq, probs, 0.0), axis=saxes)  # [B, C]
+    ground_o = jnp.sum(eq, axis=saxes, dtype=jnp.float32)
+    denominator = jnp.sum(probs, axis=saxes) + ground_o
     w = 1.0 / jnp.square(jnp.maximum(ground_o, 0.0) + 1e-38)
     # inf (empty class) → max finite weight in the same sample's row
     finite = ground_o > 0

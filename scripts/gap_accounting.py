@@ -81,6 +81,10 @@ def main() -> None:
     p.add_argument("--train", action="store_true",
                    help="account the bench.py training step instead of the "
                         "inference forward")
+    p.add_argument("--dump", default=None, metavar="PATH",
+                   help="write the optimized HLO text to PATH and exit "
+                        "before tracing (compile-cache hit makes this "
+                        "cheap; use to inspect fusion bodies by name)")
     args = p.parse_args()
 
     import jax
@@ -147,6 +151,11 @@ def main() -> None:
 
         def run_once():
             return fwd(params, xb, mods)
+
+    if args.dump:
+        Path(args.dump).write_text(compiled.as_text())
+        print(f"# optimized HLO written to {args.dump}", flush=True)
+        return
 
     by_name = hlo_bytes_by_name(compiled.as_text())
     total_gb = sum(b for b, _ in by_name.values()) / 1e9

@@ -80,3 +80,35 @@ def test_loss_from_config_dispatch():
         assert np.isfinite(float(v))
     with pytest.raises(ValueError):
         losses.loss_from_config(Config(criterion="nope"))
+
+
+def test_channel_major_layout_matches_default(case, monkeypatch):
+    """MISEG_CM_LOSS=1 (channel-major [B,C,V] working layout) is numerically
+    equivalent to the default channel-last path — values AND gradients, with
+    and without background (reduction order differs => tiny fp noise)."""
+    import jax
+
+    logits, labels = case
+    lg, lb = jnp.asarray(logits), jnp.asarray(labels)
+    fns = [
+        lambda a, b: losses.dice_loss(a, b),
+        lambda a, b: losses.dice_loss(a, b, include_background=False,
+                                      squared_pred=False),
+        lambda a, b: losses.focal_loss(a, b),
+        lambda a, b: losses.focal_loss(a, b, include_background=False),
+        lambda a, b: losses.cross_entropy_loss(a, b),
+        lambda a, b: losses.generalized_dice_loss(a, b),
+        lambda a, b: losses.generalized_dice_loss(a, b,
+                                                  include_background=False),
+        lambda a, b: losses.dice_focal_loss(a, b),
+        lambda a, b: losses.generalized_dice_focal_loss(a, b),
+    ]
+    for fn in fns:
+        monkeypatch.setenv("MISEG_CM_LOSS", "0")
+        v0, g0 = jax.value_and_grad(fn)(lg, lb)
+        monkeypatch.setenv("MISEG_CM_LOSS", "1")
+        v1, g1 = jax.value_and_grad(fn)(lg, lb)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-7)
