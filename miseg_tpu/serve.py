@@ -210,8 +210,16 @@ class ServedModel:
                             (self._bundle_dir
                              / f"volume_{tag}.jax").read_bytes())
                         aux = np.load(self._bundle_dir / f"volume_{tag}.npz")
+                        # ONE jitted wrapper per program: the f32 upcast and
+                        # the exported call must live inside a single jit —
+                        # eager per-call ops cost a full host↔device RTT
+                        # each on remote backends (measured 0.83× steady
+                        # state from exactly this, BASELINE.md round 4)
+                        fn = jax.jit(lambda p, v, m, s, i, c, _e=exp:
+                                     _e.call(p, v.astype(jnp.float32),
+                                             m, s, i, c))
                         self._volume_fns[tag] = (
-                            exp, jnp.asarray(aux["starts"]),
+                            fn, jnp.asarray(aux["starts"]),
                             jnp.asarray(aux["imp"]), jnp.asarray(aux["count"]))
                     except (FileNotFoundError, OSError) as e:
                         # partially-copied bundle: meta lists a volume
@@ -241,9 +249,8 @@ class ServedModel:
         prog = self._volume_program(tuple(vol.shape[1:-1]), vol.shape[0],
                                     ov, mode)
         if prog is not None:
-            exp, starts, imp, count = prog
-            return exp.call(self.params, vol.astype(jnp.float32), mods,
-                            starts, imp, count)
+            fn, starts, imp, count = prog
+            return fn(self.params, vol, mods, starts, imp, count)
         key = (ov, mode)
         if key not in self._inferers:
             self._inferers[key] = SlidingWindowInferer(

@@ -104,6 +104,17 @@ def main() -> None:
         return n_windows / dt
 
     live_pps = measure(lambda: live(volume, modality), "live")
+    # control arm: the SAME live model through the SAME params-as-argument
+    # inferer path the bundle arms use — isolates the jax.export
+    # import-boundary cost from the calling-convention cost
+    live_arg = SlidingWindowInferer(
+        lambda pv, w, m: model.apply({"params": pv},
+                                     w.astype(jnp.bfloat16),
+                                     m).astype(jnp.float32),
+        roi_size=roi, sw_batch_size=1, overlap=cfg.infer_overlap,
+        mode="gaussian", out_channels=6)
+    live_arg_pps = measure(lambda: live_arg(volume, modality, bf16),
+                           "live(params-as-arg)")
     # window arm: same bundle with the volume programs masked out — the
     # imported window module re-traced inside the generic inferer
     served_win = load_bundle(bundle_dir)
@@ -124,6 +135,7 @@ def main() -> None:
 
     print(json.dumps({
         "live_patches_per_sec": round(live_pps, 2),
+        "live_arg_patches_per_sec": round(live_arg_pps, 2),
         "bundle_window_patches_per_sec": round(win_pps, 2),
         "bundle_volume_patches_per_sec": round(vol_pps, 2),
         "bundle_window_vs_live": round(win_pps / live_pps, 3),
