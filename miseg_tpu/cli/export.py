@@ -47,7 +47,8 @@ def main(cfg: Config | None = None) -> str:
         vol_shapes.append(tuple(int(p) for p in parts))
     out = export_bundle(cfg, params, cfg.export_dir,
                         platforms=tuple(cfg.export_platforms),
-                        volume_shapes=vol_shapes)
+                        volume_shapes=vol_shapes,
+                        bake_params=cfg.export_bake_params)
     print(f"exported {cfg.model_name} -> {out} "
           f"(platforms={list(cfg.export_platforms)}, roi={list(cfg.roi)}"
           + (f", volume programs={vol_shapes}" if vol_shapes else "") + ")")

@@ -164,6 +164,12 @@ class Config:
     # canonical volume shapes ("224x224x224" each) to AOT-export whole
     # sliding-window programs for — serve.ServedModel.predict fast path
     export_volume_shapes: list[str] = _lst()
+    # bake the weights into the exported volume programs as module
+    # constants: recovers the live model's steady-state throughput (the
+    # params-as-argument calling convention measured 0.83× on v5e,
+    # BASELINE.md round 4) at the cost of a live-model-sized first
+    # compile and a weights-sized artifact per program
+    export_bake_params: bool = False
     profile_dir: str | None = None     # jax.profiler trace output
     log_every_n_steps: int = 10
 

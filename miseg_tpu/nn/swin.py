@@ -33,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.init import trunc_normal
+from ..ops.rel_bias import rel_bias_gather
+from ..ops.rel_bias import rel_pos_index as _rel_pos_index
 from ..ops.window import get_window_size, window_partition, window_reverse
 from .factories import get_act
 from .norms import make_norm
@@ -41,22 +43,9 @@ from .transformer import MLPBlock
 NormSpec = tuple[str, dict[str, Any]] | str
 
 
-def _rel_pos_index(window_size: Sequence[int]) -> np.ndarray:
-    """Static [N, N] index into the relative-position-bias table."""
-    grids = np.meshgrid(*[np.arange(w) for w in window_size], indexing="ij")
-    coords = np.stack([g.reshape(-1) for g in grids])  # [nd, N]
-    rel = coords[:, :, None] - coords[:, None, :]      # [nd, N, N]
-    rel = rel.transpose(1, 2, 0).astype(np.int64)
-    strides = []
-    acc = 1
-    for w in reversed(window_size):
-        strides.append(acc)
-        acc *= 2 * w - 1
-    strides = strides[::-1]
-    for i, w in enumerate(window_size):
-        rel[:, :, i] += w - 1
-        rel[:, :, i] *= strides[i]
-    return rel.sum(-1)
+# the static [N, N] rel-pos table index now lives in ops/rel_bias.py
+# alongside the scatter-free-VJP gather (imported above; the
+# `_rel_pos_index` alias keeps the golden index test's import path)
 
 
 class DropPath(nn.Module):
@@ -89,15 +78,25 @@ class WindowAttention(nn.Module):
         table_len = reduce(lambda a, w: a * (2 * w - 1), self.window_size, 1)
         bias_table = self.param("relative_position_bias_table",
                                 trunc_normal(0.02), (table_len, self.num_heads))
-        index = _rel_pos_index(self.window_size)[:n, :n].reshape(-1)
-
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
         # Gather with heads MAJOR: a [N², H] gather lane-pads H (e.g. 3)
         # to the 128-wide tile — ~40× physical write traffic, measured
         # 17 GB/s (scripts/gap_accounting.py, round 3).  [H, N²] keeps the
         # long axis lane-minor and streams at full bandwidth.
-        rel_bias = jnp.take(bias_table.T, jnp.asarray(index),
-                            axis=1).reshape(-1, n, n)  # [H, N, N]
+        from ..ops.dispatch import _flag
+        if n == int(np.prod(self.window_size)) and not _flag(
+                "MISEG_SCATTER_BIAS_GRAD"):
+            # full window: separable scatter-free VJP (ops/rel_bias.py) —
+            # the plain take's backward is a ~2 ms serial scatter per
+            # table on v5e (gap_accounting --train, round 4)
+            rel_bias = rel_bias_gather(bias_table.T,
+                                       tuple(self.window_size))  # [H, N, N]
+        else:
+            # clipped window (reference's [:n,:n] prefix quirk) — the
+            # prefix is not a sub-grid, keep the plain gather
+            index = _rel_pos_index(self.window_size)[:n, :n].reshape(-1)
+            rel_bias = jnp.take(bias_table.T, jnp.asarray(index),
+                                axis=1).reshape(-1, n, n)  # [H, N, N]
 
         # `mask` is region ids `i32 [nW, N]` (window_region_ids) or a legacy
         # additive `[nW, N, N]` tensor; ids keep the shifted-window mask out

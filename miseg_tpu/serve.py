@@ -29,16 +29,22 @@ the deserialized program in the same `SlidingWindowInferer` (an
 `Exported.call` is traceable, so the whole tile->predict->blend loop
 still compiles to ONE device program around the imported module).
 
-Why volume-level exports exist: calling the imported window module from
-inside the inferer's per-window loop puts a StableHLO module boundary in
-the hot loop — XLA keeps the exported module's argument layouts and
-cannot hoist loop-invariant work (bias-table gathers, param layout
-conversions) out of a call it didn't build, measured at 0.83× the live
-model on v5e (BASELINE.md round 3).  Exporting the ENTIRE volume program
-for the shapes a deployment actually serves (serving shapes are static
-by design — same philosophy as every jitted shape here) removes every
-interior boundary: steady-state compute is then identical to the live
-model, and startup keeps the AOT win.
+The steady-state story, measured on v5e (round 4, scripts/bench_serve.py):
+the exported artifact runs at 0.83× the live model REGARDLESS of whether
+the export boundary sits at the window or the whole volume — and a live
+control arm that merely passes params as jit ARGUMENTS measures the same
+0.83×.  The whole gap is the calling convention: weights XLA sees as
+literals get constant-folded / pre-laid-out; weights passed as arguments
+cannot be.  Hence `bake_params=True` (`--export_bake_params`): volume
+programs with the weights embedded as module constants measure 0.999×
+live with bit-identical output, at the cost of a weights-sized artifact
+and a live-model-sized first compile.  The default (argument) convention
+keeps the 7× AOT startup win and the 0.83× steady state — pick per
+deployment: short-lived batch jobs want the argument form, long-running
+servers want the baked form.  Volume-level exports additionally remove
+the interior module boundary from the per-window loop (a prerequisite
+for constant-folding to reach the loop at all) and are the only form
+`bake_params` applies to.
 """
 
 from __future__ import annotations
@@ -82,7 +88,8 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
                   platforms: tuple[str, ...] = ("tpu", "cpu"),
                   sw_batch_size: int | None = None,
                   volume_shapes: Sequence[Sequence[int]] = (),
-                  volume_mode: str = "gaussian") -> Path:
+                  volume_mode: str = "gaussian",
+                  bake_params: bool = False) -> Path:
     """Export `cfg`'s model + `params` as a serving bundle at `out_dir`.
 
     `platforms` lists every backend the artifact must run on; lowering is
@@ -94,8 +101,19 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
     `volume_shapes` lists canonical volume spatial shapes (e.g.
     `[(224, 224, 224)]`) to additionally export WHOLE sliding-window
     programs for (blend mode `volume_mode`, overlap from the config) —
-    `ServedModel.predict` routes matching volumes through these,
-    recovering live-model steady-state throughput (see module docstring).
+    `ServedModel.predict` routes matching volumes through these.
+
+    `bake_params=True` embeds the weights in the volume programs as
+    module CONSTANTS instead of call arguments.  Measured on v5e (round
+    4): with params as arguments the steady state is 0.83× the live
+    model — the loss is the calling convention itself, not the export
+    module boundary (a live params-as-arg control arm measures the same
+    0.83×) — because XLA can only constant-fold / pre-lay-out weights it
+    sees as literals.  Baking restores 1.0× steady state; the costs are
+    a weights-sized artifact per program and a live-model-sized first
+    compile (the AOT startup win applies to the argument convention).
+    The window program always keeps params as arguments (it is the
+    every-shape fallback and the bundle ships params.ckpt regardless).
     """
     from jax import export as jexport
 
@@ -139,13 +157,17 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
             sw_batch_size=bs, overlap=float(cfg.infer_overlap),
             mode=volume_mode, out_channels=int(cfg.out_channels))
         full, starts, imp, count = inferer.program(spatial)
-        specs = (p_spec,
-                 jax.ShapeDtypeStruct((1, *spatial, in_ch), np.float32),
+        specs = [jax.ShapeDtypeStruct((1, *spatial, in_ch), np.float32),
                  jax.ShapeDtypeStruct((1,), np.int32),
                  jax.ShapeDtypeStruct(starts.shape, np.int32),
                  jax.ShapeDtypeStruct(imp.shape, np.float32),
-                 jax.ShapeDtypeStruct(count.shape, np.float32))
-        exported_v = jexport.export(jax.jit(full),
+                 jax.ShapeDtypeStruct(count.shape, np.float32)]
+        if bake_params:
+            const_p = jax.tree.map(jnp.asarray, params)
+            fn_v = lambda v, m, s, i, c, _p=const_p: full(_p, v, m, s, i, c)
+        else:
+            fn_v, specs = full, [p_spec] + specs
+        exported_v = jexport.export(jax.jit(fn_v),
                                     platforms=list(platforms))(*specs)
         tag = "x".join(str(s) for s in spatial)
         (out / f"volume_{tag}.jax").write_bytes(exported_v.serialize())
@@ -156,6 +178,7 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
         volume_programs.append({
             "tag": tag, "spatial": list(spatial), "batch": 1,
             "mode": volume_mode, "overlap": float(cfg.infer_overlap),
+            "params_baked": bool(bake_params),
         })
 
     meta = {
@@ -213,11 +236,18 @@ class ServedModel:
                         # ONE jitted wrapper per program: the f32 upcast and
                         # the exported call must live inside a single jit —
                         # eager per-call ops cost a full host↔device RTT
-                        # each on remote backends (measured 0.83× steady
-                        # state from exactly this, BASELINE.md round 4)
-                        fn = jax.jit(lambda p, v, m, s, i, c, _e=exp:
-                                     _e.call(p, v.astype(jnp.float32),
-                                             m, s, i, c))
+                        # each on remote backends.  Baked programs carry
+                        # their weights as module constants and take no
+                        # params argument (accepted-and-ignored here so
+                        # predict() has one calling convention).
+                        if entry.get("params_baked"):
+                            fn = jax.jit(lambda p, v, m, s, i, c, _e=exp:
+                                         _e.call(v.astype(jnp.float32),
+                                                 m, s, i, c))
+                        else:
+                            fn = jax.jit(lambda p, v, m, s, i, c, _e=exp:
+                                         _e.call(p, v.astype(jnp.float32),
+                                                 m, s, i, c))
                         self._volume_fns[tag] = (
                             fn, jnp.asarray(aux["starts"]),
                             jnp.asarray(aux["imp"]), jnp.asarray(aux["count"]))

@@ -30,6 +30,8 @@ def main() -> None:
     p.add_argument("--roi", type=int, default=96)
     p.add_argument("--vol", type=int, default=224)
     p.add_argument("--reps", type=int, default=6)
+    p.add_argument("--no_baked", action="store_true",
+                   help="skip the baked-params volume arm (halves export time)")
     args = p.parse_args()
 
     import jax
@@ -125,6 +127,20 @@ def main() -> None:
     vol_pps = measure(lambda: served.predict(volume, modality,
                                              mode="gaussian"),
                       "bundle(volume-level)")
+    baked_pps = baked_diff = None
+    if not args.no_baked:
+        # baked arm: weights as module CONSTANTS — the calling convention
+        # the live model compiles under (the params-as-arg control arm
+        # isolates this as the whole 0.83x steady-state gap)
+        print("# exporting baked bundle ...", file=sys.stderr, flush=True)
+        baked_dir = export_bundle(cfg, params, tempfile.mkdtemp() + "/baked",
+                                  platforms=("tpu",),
+                                  volume_shapes=[vol_shape], bake_params=True)
+        baked = load_bundle(baked_dir)
+        baked_pps = measure(lambda: baked.predict(volume, modality,
+                                                  mode="gaussian"),
+                            "bundle(volume-level, baked)")
+        a_baked = np.asarray(baked.predict(volume, modality, mode="gaussian"))
     # spot-check BOTH served arms against the live output (bundle and
     # live share the bf16 policy) — each timed path is parity-certified
     a = np.asarray(served.predict(volume, modality, mode="gaussian"))
@@ -132,8 +148,10 @@ def main() -> None:
     b = np.asarray(live(volume, modality))
     max_diff = float(np.abs(a - b).max())
     max_diff_win = float(np.abs(a_win - b).max())
+    if baked_pps is not None:
+        baked_diff = float(np.abs(a_baked - b).max())
 
-    print(json.dumps({
+    out = {
         "live_patches_per_sec": round(live_pps, 2),
         "live_arg_patches_per_sec": round(live_arg_pps, 2),
         "bundle_window_patches_per_sec": round(win_pps, 2),
@@ -143,7 +161,12 @@ def main() -> None:
         "max_abs_diff": max_diff,
         "max_abs_diff_window_arm": max_diff_win,
         "n_windows": n_windows,
-    }))
+    }
+    if baked_pps is not None:
+        out["bundle_volume_baked_patches_per_sec"] = round(baked_pps, 2)
+        out["bundle_volume_baked_vs_live"] = round(baked_pps / live_pps, 3)
+        out["max_abs_diff_baked_arm"] = baked_diff
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,8 +27,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 VARIANTS = {
-    "xla": {"MISEG_CM_LOSS": "0"},
-    "cm_loss": {"MISEG_CM_LOSS": "1"},
+    "xla": {"MISEG_CM_LOSS": "0", "MISEG_SCATTER_BIAS_GRAD": ""},
+    "cm_loss": {"MISEG_CM_LOSS": "1", "MISEG_SCATTER_BIAS_GRAD": ""},
+    # round-4 rel-pos-bias backward A/B: the default separable
+    # (scatter-free) VJP vs the plain take's serial scatter-add
+    # (ops/rel_bias.py; gap_accounting --train priced the scatters at
+    # ~2 ms/table)
+    "bias_scatter": {"MISEG_CM_LOSS": "0", "MISEG_SCATTER_BIAS_GRAD": "1"},
 }
 
 

@@ -135,7 +135,8 @@ def test_volume_level_export_fast_path(tiny, tmp_path):
     meta = json.loads((out / "meta.json").read_text())
     assert meta["volume_programs"] == [{
         "tag": "20x20x20", "spatial": [20, 20, 20], "batch": 1,
-        "mode": "gaussian", "overlap": cfg.infer_overlap}]
+        "mode": "gaussian", "overlap": cfg.infer_overlap,
+        "params_baked": False}]
     assert (out / "volume_20x20x20.jax").exists()
     assert (out / "volume_20x20x20.npz").exists()
 
@@ -165,3 +166,27 @@ def test_volume_level_export_fast_path(tiny, tmp_path):
     got2 = np.asarray(served.predict(vol2, mods))
     want2 = np.asarray(ref(jnp.asarray(vol2), jnp.asarray(mods), params))
     np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
+def test_volume_export_baked_params(tiny, tmp_path):
+    """bake_params=True embeds the weights as module constants: the
+    volume program takes no params argument, predict() still routes
+    through it, and outputs match the argument-convention program."""
+    cfg, model, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "baked", platforms=("cpu",),
+                        volume_shapes=[(20, 20, 20)], bake_params=True)
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["volume_programs"][0]["params_baked"] is True
+    out_arg = export_bundle(cfg, params, tmp_path / "arg", platforms=("cpu",),
+                            volume_shapes=[(20, 20, 20)])
+
+    from miseg_tpu.serve import load_bundle as _lb
+    baked, arg = _lb(out), _lb(out_arg)
+    rng = np.random.default_rng(4)
+    vol = rng.normal(size=(1, 20, 20, 20, 1)).astype(np.float32)
+    mods = np.zeros((1,), np.int32)
+    assert baked._volume_program((20, 20, 20), 1,
+                                 cfg.infer_overlap, "gaussian") is not None
+    got = np.asarray(baked.predict(vol, mods))
+    want = np.asarray(arg.predict(vol, mods))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -80,3 +80,55 @@ def test_compute_mask_jnp_matches_numpy():
             assert b is None
         else:
             assert np.allclose(np.asarray(b), a)
+
+
+def test_rel_bias_gather_value_and_grad_match_take(rng):
+    """ops/rel_bias.py: the separable (scatter-free) VJP must equal the
+    plain take's value AND gradient for full windows, 2D and 3D."""
+    import jax
+
+    from miseg_tpu.ops.rel_bias import rel_bias_gather, rel_pos_index
+
+    for ws in [(7, 7, 7), (4, 5), (3, 4, 5)]:
+        n = int(np.prod(ws))
+        t_len = int(np.prod([2 * w - 1 for w in ws]))
+        h = 3
+        table_t = jnp.asarray(
+            rng.standard_normal((h, t_len)).astype(np.float32))
+        idx = jnp.asarray(rel_pos_index(ws).reshape(-1))
+
+        def ref(t):
+            return jnp.take(t, idx, axis=1).reshape(h, n, n)
+
+        out = rel_bias_gather(table_t, ws)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref(table_t)))
+
+        ct = jnp.asarray(rng.standard_normal((h, n, n)).astype(np.float32))
+        _, vjp_fast = jax.vjp(lambda t: rel_bias_gather(t, ws), table_t)
+        _, vjp_ref = jax.vjp(ref, table_t)
+        (g_fast,), (g_ref,) = vjp_fast(ct), vjp_ref(ct)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_window_attention_bias_grad_env_paths_agree(rng, monkeypatch):
+    """WindowAttention trains identically with the scatter-free bias VJP
+    (default) and the plain scatter path (MISEG_SCATTER_BIAS_GRAD=1)."""
+    import jax
+
+    from miseg_tpu.nn.swin import WindowAttention
+
+    x = jnp.asarray(rng.standard_normal((4, 27, 6)).astype(np.float32))
+    mod = WindowAttention(num_heads=3, window_size=(3, 3, 3))
+    params = mod.init({"params": jax.random.key(0)}, x)
+
+    def loss(p):
+        return jnp.sum(mod.apply(p, x) ** 2)
+
+    monkeypatch.delenv("MISEG_SCATTER_BIAS_GRAD", raising=False)
+    g_fast = jax.grad(loss)(params)
+    monkeypatch.setenv("MISEG_SCATTER_BIAS_GRAD", "1")
+    g_scatter = jax.grad(loss)(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_fast, g_scatter)
