@@ -56,6 +56,20 @@ def pallas_attn_min_bw() -> int | None:
 
 
 @functools.lru_cache(maxsize=1)
+def use_bf16_scores() -> bool:
+    """MISEG_BF16_SCORES=1: materialize window-attention score tensors in
+    bf16 instead of f32.  The QKᵀ einsum still accumulates f32 on the MXU
+    and softmax still subtracts-max/exps/sums in f32 — only the HBM tensor
+    between the two fusions is rounded (the stage-1 `[343,3,343,343]`
+    scores are the single largest forward tensor: ~546 MB f32/window,
+    ~6.6 ms at 228 GB/s per gap_accounting.py round 3).  Adds one bf16
+    rounding of the score logits, comparable to the bf16 noise already
+    carried by the Q/K inputs.  Off by default."""
+    env = _flag("MISEG_BF16_SCORES")
+    return bool(env)
+
+
+@functools.lru_cache(maxsize=1)
 def use_pallas_conv() -> bool:
     env = _flag("MISEG_PALLAS_CONV")
     return env if env is not None else use_pallas()
@@ -73,4 +87,5 @@ def clear_cache() -> None:
     use_pallas_norm.cache_clear()
     use_pallas_attn.cache_clear()
     pallas_attn_min_bw.cache_clear()
+    use_bf16_scores.cache_clear()
     use_pallas_conv.cache_clear()

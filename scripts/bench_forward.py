@@ -23,7 +23,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 _OFF = {"MISEG_PALLAS_NORM": "0", "MISEG_PALLAS_ATTN": "0",
-        "MISEG_PALLAS_CONV": "0", "MISEG_PACKED_STATS": "0"}
+        "MISEG_PALLAS_CONV": "0", "MISEG_PACKED_STATS": "0",
+        "MISEG_BF16_SCORES": "0"}
 VARIANTS = {
     "xla": _OFF,
     "norm": {**_OFF, "MISEG_PALLAS_NORM": "1"},
@@ -35,6 +36,10 @@ VARIANTS = {
     # flat view (ops/norms.py::_stats_packed) instead of the lane-minor C=48
     # reduce — kill bar < +5% e2e (VERDICT r3 #9)
     "packed": {**_OFF, "MISEG_PACKED_STATS": "1"},
+    # round-5 precision experiment: bf16 materialized attention scores
+    # (f32 MXU accumulation + f32 softmax internals kept) — halves the
+    # largest forward tensor's HBM traffic (ops/dispatch.use_bf16_scores)
+    "bf16_scores": {**_OFF, "MISEG_BF16_SCORES": "1"},
 }
 
 

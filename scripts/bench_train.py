@@ -26,14 +26,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+_BASE = {"MISEG_CM_LOSS": "0", "MISEG_SCATTER_BIAS_GRAD": "",
+         "MISEG_BF16_SCORES": "0"}
 VARIANTS = {
-    "xla": {"MISEG_CM_LOSS": "0", "MISEG_SCATTER_BIAS_GRAD": ""},
-    "cm_loss": {"MISEG_CM_LOSS": "1", "MISEG_SCATTER_BIAS_GRAD": ""},
+    "xla": dict(_BASE),
+    "cm_loss": {**_BASE, "MISEG_CM_LOSS": "1"},
     # round-4 rel-pos-bias backward A/B: the default separable
     # (scatter-free) VJP vs the plain take's serial scatter-add
     # (ops/rel_bias.py; gap_accounting --train priced the scatters at
     # ~2 ms/table)
-    "bias_scatter": {"MISEG_CM_LOSS": "0", "MISEG_SCATTER_BIAS_GRAD": "1"},
+    "bias_scatter": {**_BASE, "MISEG_SCATTER_BIAS_GRAD": "1"},
+    # round-5 precision experiment: bf16 materialized attention scores —
+    # in training the score tensors exist in fwd AND bwd (the backward
+    # re-reads them for the softmax VJP), so the traffic cut doubles
+    "bf16_scores": {**_BASE, "MISEG_BF16_SCORES": "1"},
 }
 
 
@@ -92,6 +98,8 @@ def main() -> None:
     print(f"{'variant':10s} {'ms/step':>9s} {'compile s':>10s} {'loss@1':>12s}")
     for name in args.variants.split(","):
         os.environ.update(VARIANTS[name])
+        from miseg_tpu.ops import dispatch
+        dispatch.clear_cache()
         loss_fn = loss_from_config(Config(criterion=args.criterion,
                                           out_channels=6))
         params = params0

@@ -132,3 +132,40 @@ def test_window_attention_bias_grad_env_paths_agree(rng, monkeypatch):
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
         g_fast, g_scatter)
+
+
+def test_bf16_scores_flag(rng, monkeypatch):
+    """MISEG_BF16_SCORES=1 is a no-op at f32 and stays within bf16
+    rounding of the default path at bf16 (scores rounded once between the
+    f32 MXU accumulation and the f32 softmax internals)."""
+    import jax
+
+    from miseg_tpu.nn.swin import WindowAttention
+    from miseg_tpu.ops import dispatch
+    from miseg_tpu.ops.window import window_region_ids
+
+    x32 = jnp.asarray(rng.standard_normal((8, 27, 6)).astype(np.float32))
+    ids = window_region_ids((6, 6, 6), (3, 3, 3), (1, 1, 1))  # [nW=8, 27]
+    mod = WindowAttention(num_heads=3, window_size=(3, 3, 3))
+    params = mod.init({"params": jax.random.key(0)}, x32)
+
+    def run(x, p):
+        return np.asarray(mod.apply(p, x, ids).astype(jnp.float32))
+
+    monkeypatch.setenv("MISEG_BF16_SCORES", "1")
+    dispatch.clear_cache()
+    try:
+        out32_on = run(x32, params)
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        out16_on = run(x32.astype(jnp.bfloat16), p16)
+        monkeypatch.setenv("MISEG_BF16_SCORES", "0")
+        dispatch.clear_cache()
+        out32_off = run(x32, params)
+        out16_off = run(x32.astype(jnp.bfloat16), p16)
+    finally:
+        monkeypatch.delenv("MISEG_BF16_SCORES", raising=False)
+        dispatch.clear_cache()
+
+    np.testing.assert_array_equal(out32_on, out32_off)  # f32: exact no-op
+    scale = np.abs(out16_off).max()
+    np.testing.assert_allclose(out16_on, out16_off, atol=0.05 * scale)
