@@ -155,7 +155,7 @@ class Config:
     spatial_axis: str = "sp"           # mesh axis for spatial partitioning
     tensor_parallel: bool = False      # TP: Megatron-shard transformer matmuls
     tp_axis: str = "model"             # mesh axis for tensor parallelism
-    pipeline_parallel: bool = False    # PP: GPipe the UNETR ViT over pp_axis
+    pipeline_parallel: bool = False    # PP: GPipe UNETR ViT / swin stages
     pp_axis: str = "pp"                # mesh axis for pipeline stages
     pp_microbatches: int = 2           # GPipe microbatches per step
     export_dir: str = "./export_bundle"  # cli.export output bundle path

@@ -187,6 +187,90 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *extra,
     return run(stacked_params, x, extra)
 
 
+def pipeline_apply_hetero(stage_fns: list, params, x, *extra,
+                          mesh: Mesh, axis: str = "pp", microbatches: int,
+                          data_axis: str | None = None):
+    """GPipe with HETEROGENEOUS stages: one `stage_fns[s]` per pipeline
+    rank, selected at runtime by `lax.switch` on the device's mesh
+    coordinate.
+
+    Unlike `pipeline_apply` (homogeneous stage-stacked params), each
+    stage here may have its own parameter shapes — `params` is passed
+    replicated and every branch closes over whatever slice it needs.
+    This fits shape-CHANGING stacks (e.g. a swin backbone whose
+    PatchMerging halves spatial dims and doubles channels per stage):
+    stages exchange activations in ONE canonical shape (e.g. a flat
+    `[B/M, F]` buffer sized for the largest stage, with each `stage_fn`
+    reshaping its prefix in and padding its output back out).
+
+    `stage_fns[s](params, h, *extra_mb) -> h'` must preserve the
+    canonical shape/dtype.  Returns `ys [S, B, ...]` — `ys[s]` is the
+    activation AFTER stage s (so stage outputs at every boundary are
+    available for pyramid-style decoders without an aux channel).
+    """
+    n_stages = int(mesh.shape[axis])
+    if len(stage_fns) != n_stages:
+        raise ValueError(f"{len(stage_fns)} stage_fns for a {n_stages}-way "
+                         f"'{axis}' mesh axis")
+    m = int(microbatches)
+    if m < 1:
+        raise ValueError("microbatches must be >= 1")
+
+    bspec = P(data_axis) if data_axis else P()
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params),
+                  bspec, jax.tree.map(lambda _: bspec, extra)),
+        out_specs=P(axis, data_axis),
+        check_vma=False)
+    def run(p, xb, extras):
+        s = jax.lax.axis_index(axis)
+        batch = xb.shape[0]
+        if batch % m:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"{m} microbatches")
+        mb = batch // m
+        x_mb = xb.reshape((m, mb) + xb.shape[1:])
+        ex_mb = jax.tree.map(
+            lambda a: a.reshape((m, mb) + a.shape[1:]), extras)
+
+        branches = [lambda h, e, f=fn: f(p, h, *e) for fn in stage_fns]
+
+        buf = jnp.zeros((m + 1, mb) + xb.shape[1:], x_mb.dtype)
+        h0 = jnp.zeros((mb,) + xb.shape[1:], x_mb.dtype)
+        fwd_perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+        def tick(carry, t):
+            h_recv, out = carry
+            mi = t - s
+            active = (mi >= 0) & (mi < m)
+            mc = jnp.clip(mi, 0, m - 1)
+            x_in = jax.lax.dynamic_index_in_dim(x_mb, mc, 0, keepdims=False)
+            h_in = jnp.where(s == 0, x_in, h_recv)
+            e_in = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mc, 0,
+                                                       keepdims=False),
+                ex_mb)
+            h_out = jax.lax.switch(s, branches, h_in, e_in)
+            if h_out.shape != h_in.shape or h_out.dtype != h_in.dtype:
+                raise ValueError("stage_fns must preserve the canonical "
+                                 f"activation shape/dtype, got {h_out.shape} "
+                                 f"{h_out.dtype} from {h_in.shape} "
+                                 f"{h_in.dtype}")
+            slot = jnp.where(active, mc, m)
+            out = jax.lax.dynamic_update_index_in_dim(out, h_out, slot, 0)
+            h_next = jax.lax.ppermute(h_out, axis, fwd_perm)
+            return (h_next, out), None
+
+        (_, buf), _ = jax.lax.scan(tick, (h0, buf),
+                                   jnp.arange(m + n_stages - 1))
+        ys = buf[:m].reshape((batch,) + xb.shape[1:])
+        return ys[None]
+
+    return run(params, x, extra)
+
+
 def place_pipeline_params(stacked_params, mesh: Mesh, axis: str = "pp"):
     """Device-put a stage-stacked tree onto its pipeline placement."""
     return jax.device_put(stacked_params,

@@ -133,23 +133,32 @@ class Trainer:
                 and self.mesh.shape.get(self.cfg.pp_axis, 1) > 1)
 
     def _pp_apply(self, params, image, modalities, extra_vars):
-        """PP train forward: UNETR's ViT as a GPipe over mesh[pp_axis]
-        (models/unetr_pp.py).  Params stay in the serial tree (replicated
-        masters; the stage stacking + placement happen in-graph), so
-        optimizer/checkpoint/eval paths are unchanged — eval runs the
-        serial forward on the same weights."""
+        """PP train forward: the transformer encoder as a GPipe over
+        mesh[pp_axis] — UNETR's ViT stack (models/unetr_pp.py) or
+        SwinUNETR's four BasicLayer stages (models/swin_unetr_pp.py).
+        Params stay in the serial tree (replicated masters; the stage
+        stacking/placement happen in-graph), so optimizer/checkpoint/eval
+        paths are unchanged — eval runs the serial forward on the same
+        weights."""
+        from ..models.swin_unetr import SwinUNETR
+        from ..models.swin_unetr_pp import swin_unetr_pipeline_forward
         from ..models.unetr import UNETR
         from ..models.unetr_pp import unetr_pipeline_forward
-        if not isinstance(self.model, UNETR):
-            raise ValueError("pipeline_parallel supports the ViT-encoder "
-                             f"UNETR family; got {type(self.model).__name__}")
+        if isinstance(self.model, UNETR):
+            pipeline_forward = unetr_pipeline_forward
+        elif isinstance(self.model, SwinUNETR):
+            pipeline_forward = swin_unetr_pipeline_forward
+        else:
+            raise ValueError("pipeline_parallel supports the UNETR and "
+                             "SwinUNETR transformer families; got "
+                             f"{type(self.model).__name__}")
         if extra_vars:
             raise ValueError("pipeline_parallel does not support mutable "
                              "collections (batch-stats norms)")
         p = jax.tree.map(lambda x: x.astype(self.compute_dtype)
                          if jnp.issubdtype(x.dtype, jnp.floating) else x,
                          params)
-        logits = unetr_pipeline_forward(
+        logits = pipeline_forward(
             self.model, p, image.astype(self.compute_dtype), modalities,
             mesh=self.mesh, microbatches=self.cfg.pp_microbatches,
             axis=self.cfg.pp_axis,

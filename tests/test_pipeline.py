@@ -178,8 +178,11 @@ def test_uneven_layers_rejected(rng):
 
 def _tiny_unetr(num_layers=4):
     from miseg_tpu.models.unetr import UNETR
+    # round-5 shrink (VERDICT r4 #5): hidden 32->16, mlp 64->32, heads
+    # 4->2, fs 8->4 — same structure/assertions, smaller XLA programs on
+    # the 1-core suite host
     return UNETR(in_channels=1, out_channels=3, img_size=(32, 32, 32),
-                 feature_size=8, hidden_size=32, mlp_dim=64, num_heads=4,
+                 feature_size=4, hidden_size=16, mlp_dim=32, num_heads=2,
                  num_layers=num_layers,
                  vit_norm=("instance_cond", {"num_styles": 2, "affine": True}),
                  encoder_norm=("instance_cond",
@@ -206,7 +209,12 @@ def test_unetr_pp_forward_matches_serial(rng, n_pp):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_unetr_pp_grads_match_serial(rng):
+    # slow: the two full-model grad compiles dominate the quick suite on
+    # the 1-core host (~430 s); quick keeps grad equality on the generic
+    # schedule (test_pipeline_grads_match_serial) + full-model FORWARD
+    # parity, and the multichip dryrun drives the real PP train step
     from miseg_tpu.models.unetr_pp import unetr_pipeline_forward
     model = _tiny_unetr()
     mesh = make_mesh((4, 2), ("data", "pp"))
@@ -230,15 +238,17 @@ def test_unetr_pp_grads_match_serial(rng):
         np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5), g_pp, g_serial)
 
 
+@pytest.mark.slow
 def test_trainer_pipeline_parallel_loss_matches_dp(rng):
     """`Config.pipeline_parallel` drives a REAL UNETR train step under
-    DP x PP; first-step loss must match the pure-DP trainer."""
+    DP x PP; first-step loss must match the pure-DP trainer.  (slow:
+    two train-step compiles; the dryrun PP leg covers this per round)"""
     import tempfile
     from miseg_tpu.config import Config
     from miseg_tpu.train.engine import Trainer
 
-    kw = dict(model_name="unetr", out_channels=3, feature_size=[8],
-              hidden_size=32, mlp_dim=64, num_heads=4,
+    kw = dict(model_name="unetr", out_channels=3, feature_size=[4],
+              hidden_size=16, mlp_dim=32, num_heads=2,
               roi_x=32, roi_y=32, roi_z=32,
               vit_norm_name="instance_cond",
               encoder_norm_name="instance_cond",
@@ -266,3 +276,117 @@ def test_trainer_pipeline_parallel_loss_matches_dp(rng):
     s_pp = t_pp.init_state(image[:1], mods[:1], params=params0)
     s_pp, loss_pp = t_pp.train_step(s_pp, batch)
     np.testing.assert_allclose(float(loss_pp), float(loss_dp), rtol=1e-4)
+
+
+# ------------------------------------------------------------- SwinUNETR PP
+
+def _tiny_swin():
+    from miseg_tpu.models.swin_unetr import SwinUNETR
+    return SwinUNETR(
+        img_size=(32, 32, 32), in_channels=1, out_channels=3,
+        depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), feature_size=12,
+        vit_norm=("instance_cond", {"num_styles": 2, "affine": True}),
+        encoder_norm=("instance_cond", {"num_styles": 2, "affine": True}),
+        decoder_norm=("instance", {"affine": True}))
+
+
+def _synth_params(model, x, mods, scale=0.05):
+    """eval_shape + host randoms: skips the multi-minute jitted flax init
+    (parity needs SOME weights, not the init distribution)."""
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, x[:1],
+                           mods[:1]))["params"]
+    r = np.random.default_rng(0)
+    return jax.tree.map(
+        lambda a: jnp.asarray(scale * r.standard_normal(a.shape), a.dtype),
+        shapes)
+
+
+def test_swin_pp_forward_matches_serial(rng):
+    """Pipelined SwinUNETR == serial SwinUNETR: the four shape-changing
+    BasicLayer stages ride the heterogeneous GPipe (canonical flat
+    buffer + lax.switch stage bodies, models/swin_unetr_pp.py), taps at
+    every stage boundary feed the conv decoder."""
+    from miseg_tpu.models.swin_unetr_pp import swin_unetr_pipeline_forward
+    model = _tiny_swin()
+    mesh = make_mesh((2, 4), ("data", "pp"))
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 32, 1)), jnp.float32)
+    mods = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    params = _synth_params(model, x, mods)
+    want = model.apply({"params": params}, x, mods)
+    got = swin_unetr_pipeline_forward(model, params, x, mods, mesh=mesh,
+                                      microbatches=2, data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_swin_pp_grads_match_serial(rng):
+    from miseg_tpu.models.swin_unetr_pp import swin_unetr_pipeline_forward
+    model = _tiny_swin()
+    mesh = make_mesh((2, 4), ("data", "pp"))
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 32, 1)), jnp.float32)
+    mods = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    params = _synth_params(model, x, mods)
+
+    def loss_pp(p):
+        return jnp.mean(swin_unetr_pipeline_forward(
+            model, p, x, mods, mesh=mesh, microbatches=2,
+            data_axis="data") ** 2)
+
+    def loss_serial(p):
+        return jnp.mean(model.apply({"params": p}, x, mods) ** 2)
+
+    g_pp = jax.grad(loss_pp)(params)
+    g_serial = jax.grad(loss_serial)(params)
+    # f32 reassociation noise through two program structures (instance-
+    # norm stat reductions reorder); near-zero elements carry the atol
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4), g_pp, g_serial)
+
+
+@pytest.mark.slow
+def test_trainer_swin_pipeline_parallel_loss_matches_dp(rng):
+    """`Config.pipeline_parallel` drives a REAL SwinUNETR (flagship
+    family) train step under DP x PP; first-step loss must match the
+    pure-DP trainer."""
+    import tempfile
+    from miseg_tpu.config import Config
+    from miseg_tpu.train.engine import Trainer
+
+    kw = dict(model_name="swin_unetr", out_channels=3, feature_size=[12],
+              num_heads=1, depth_swin_block=[1],
+              roi_x=32, roi_y=32, roi_z=32,
+              vit_norm_name="instance_cond",
+              encoder_norm_name="instance_cond",
+              decoder_norm_name="instance", criterion="dice_focal",
+              optim_name="adamw", lr=1e-3)
+    image = np.asarray(rng.normal(size=(8, 32, 32, 32, 1)), np.float32)
+    label = np.asarray(rng.integers(0, 3, (8, 32, 32, 32)), np.int32)
+    mods = (np.arange(8) % 2).astype(np.int32)
+    batch = {"image": image, "label": label, "modality": mods}
+
+    t_dp = Trainer(Config(**kw), mesh=make_mesh((8,), ("data",)),
+                   workdir=tempfile.mkdtemp())
+    s_dp = t_dp.init_state(image[:1], mods[:1])
+    params0 = jax.tree.map(np.asarray, jax.device_get(s_dp.params))
+    s_dp, loss_dp = t_dp.train_step(s_dp, batch)
+
+    t_pp = Trainer(Config(pipeline_parallel=True, pp_microbatches=2,
+                          mesh_shape=[2, 4], mesh_axes=["data", "pp"], **kw),
+                   mesh=make_mesh((2, 4), ("data", "pp")),
+                   workdir=tempfile.mkdtemp())
+    s_pp = t_pp.init_state(image[:1], mods[:1], params=params0)
+    s_pp, loss_pp = t_pp.train_step(s_pp, batch)
+    np.testing.assert_allclose(float(loss_pp), float(loss_dp), rtol=1e-4)
+
+
+def test_swin_pp_rejects_wrong_stage_count(rng):
+    from miseg_tpu.models.swin_unetr_pp import swin_unetr_pipeline_forward
+    model = _tiny_swin()
+    mesh = make_mesh((4, 2), ("data", "pp"))
+    x = jnp.zeros((4, 32, 32, 32, 1), jnp.float32)
+    mods = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(ValueError, match="4 stages"):
+        swin_unetr_pipeline_forward(model, {}, x, mods, mesh=mesh,
+                                    microbatches=2)
