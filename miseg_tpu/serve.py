@@ -14,6 +14,10 @@ Bundle layout (a directory):
                    jax version — everything the serving side needs
     window_fn.jax  serialized `jax.export.Exported`:
                    (params, window [B,*roi,Cin], modalities i32[B]) -> logits
+    window_fn_baked.jax   optional (--export_bake_params): same program
+                   with the weights baked as module constants — the
+                   every-shape fallback then keeps the constant-folded
+                   ~1.0x steady state (the argument form measures 0.83x)
     params.ckpt    weights in the native msgpack checkpoint format
                    (kept OUTSIDE the program: baking multi-hundred-MB
                    constants into HLO is a measured compile pathology —
@@ -64,6 +68,7 @@ from .train.checkpoint import load_checkpoint, save_checkpoint
 
 _BUNDLE_VERSION = 1
 _FN_FILE = "window_fn.jax"
+_FN_BAKED_FILE = "window_fn_baked.jax"
 _PARAMS_FILE = "params.ckpt"
 _META_FILE = "meta.json"
 
@@ -112,8 +117,10 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
     sees as literals.  Baking restores 1.0× steady state; the costs are
     a weights-sized artifact per program and a live-model-sized first
     compile (the AOT startup win applies to the argument convention).
-    The window program always keeps params as arguments (it is the
-    every-shape fallback and the bundle ships params.ckpt regardless).
+    With `bake_params=True` a baked WINDOW program is exported too
+    (window_fn_baked.jax), so the every-shape fallback path also keeps
+    the ~1.0x steady state; the argument-form window_fn.jax still ships
+    alongside as the fast-startup path.
     """
     from jax import export as jexport
 
@@ -148,6 +155,21 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
                                   p_spec, w_spec, m_spec)
     (out / _FN_FILE).write_bytes(exported.serialize())
     save_checkpoint(out / _PARAMS_FILE, params=params)
+    if bake_params:
+        # baked WINDOW program: weights as module constants, signature
+        # (window, modalities) -> logits.  This is the every-shape serving
+        # path — the generic inferer traces it for volumes that match no
+        # exported volume program, so long-running servers at arbitrary
+        # shapes keep the ~1.0x constant-folded steady state instead of
+        # the measured 0.83x params-as-arguments convention (round 4,
+        # scripts/bench_serve.py).  The argument-form window_fn.jax still
+        # ships as the fast-startup / low-memory path.
+        const_p = jax.tree.map(jnp.asarray, params)
+        wfn_baked = lambda w, m: wfn(const_p, w, m)
+        exported_b = jexport.export(jax.jit(wfn_baked),
+                                    platforms=list(platforms))(
+                                        w_spec, m_spec)
+        (out / _FN_BAKED_FILE).write_bytes(exported_b.serialize())
 
     volume_programs = []
     for spatial in volume_shapes:
@@ -194,6 +216,7 @@ def export_bundle(cfg: Config, params, out_dir: str | Path,
         "params_dtype": np.dtype(compute).name,
         "jax_version": jax.__version__,
         "model_name": cfg.model_name,
+        "window_baked": bool(bake_params),
         "volume_programs": volume_programs,
     }
     (out / _META_FILE).write_text(json.dumps(meta, indent=2))
@@ -205,15 +228,20 @@ class ServedModel:
     `predict` (sliding-window, same blend semantics as training eval)."""
 
     def __init__(self, exported, params, meta: dict,
-                 bundle_dir: Path | None = None):
+                 bundle_dir: Path | None = None, exported_baked=None):
         self._exported = exported
+        self._exported_baked = exported_baked  # weights as constants
         self.params = params
         self.meta = meta
         self._bundle_dir = Path(bundle_dir) if bundle_dir else None
         self._inferers: dict = {}
         self._volume_fns: dict = {}  # tag -> (Exported, starts, imp, count)
+        self._fallbacks_logged: set = set()
 
     def __call__(self, window, modalities):
+        if self._exported_baked is not None:
+            return self._exported_baked.call(
+                jnp.asarray(window), jnp.asarray(modalities, jnp.int32))
         return self._exported.call(self.params, jnp.asarray(window),
                                    jnp.asarray(modalities, jnp.int32))
 
@@ -281,11 +309,33 @@ class ServedModel:
         if prog is not None:
             fn, starts, imp, count = prog
             return fn(self.params, vol, mods, starts, imp, count)
+        fb_key = (tuple(vol.shape), ov, mode)
+        if fb_key not in self._fallbacks_logged:
+            self._fallbacks_logged.add(fb_key)
+            if self._exported_baked is None:
+                # loud, once per shape: a long-running server living on
+                # this path silently eats the measured 17% (round 4);
+                # point at the two exports that close it
+                import logging
+                logging.getLogger(__name__).warning(
+                    "serve: volume %s overlap=%.2f mode=%s matches no "
+                    "exported volume program and the bundle has no baked "
+                    "window program — using the params-as-arguments window "
+                    "path (~0.83x steady state on v5e).  Re-export with "
+                    "--export_volume_shapes %s or --export_bake_params to "
+                    "recover ~1.0x.", tuple(vol.shape), ov, mode,
+                    "x".join(str(s) for s in vol.shape[1:-1]))
         key = (ov, mode)
         if key not in self._inferers:
+            if self._exported_baked is not None:
+                # baked window program: weights are module constants, so
+                # the generic inferer's traced per-window call keeps the
+                # constant-folded layouts at any volume shape
+                call = lambda pv, w, m: self._exported_baked.call(w, m)
+            else:
+                call = lambda pv, w, m: self._exported.call(pv, w, m)
             self._inferers[key] = SlidingWindowInferer(
-                lambda pv, w, m: self._exported.call(pv, w, m),
-                roi_size=tuple(self.meta["roi"]),
+                call, roi_size=tuple(self.meta["roi"]),
                 sw_batch_size=int(self.meta["sw_batch_size"]),
                 overlap=key[0], mode=mode,
                 out_channels=int(self.meta["out_channels"]))
@@ -302,6 +352,10 @@ def load_bundle(bundle_dir: str | Path) -> ServedModel:
         raise ValueError(f"bundle version {meta['bundle_version']} is newer "
                          f"than this runtime supports ({_BUNDLE_VERSION})")
     exported = jexport.deserialize((d / _FN_FILE).read_bytes())
+    exported_baked = None
+    if meta.get("window_baked") and (d / _FN_BAKED_FILE).exists():
+        exported_baked = jexport.deserialize((d / _FN_BAKED_FILE).read_bytes())
     params = load_checkpoint(d / _PARAMS_FILE)["params"]
     params = jax.tree.map(jnp.asarray, params)
-    return ServedModel(exported, params, meta, bundle_dir=d)
+    return ServedModel(exported, params, meta, bundle_dir=d,
+                       exported_baked=exported_baked)

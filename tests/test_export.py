@@ -190,3 +190,66 @@ def test_volume_export_baked_params(tiny, tmp_path):
     got = np.asarray(baked.predict(vol, mods))
     want = np.asarray(arg.predict(vol, mods))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_baked_window_program_fallback(tiny, tmp_path):
+    """bake_params=True also exports a baked WINDOW program
+    (window_fn_baked.jax): __call__ and the every-shape predict fallback
+    route through it (weights as module constants — closes the measured
+    0.83x params-as-arguments steady state for non-canonical shapes,
+    VERDICT r4 #7) and match the live model."""
+    from miseg_tpu.inferers import SlidingWindowInferer
+
+    cfg, model, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",),
+                        bake_params=True)
+    assert (out / "window_fn_baked.jax").exists()
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["window_baked"] is True
+
+    served = load_bundle(out)
+    assert served._exported_baked is not None
+    rng = np.random.default_rng(6)
+    window = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32)
+    mods = np.zeros((1,), np.int32)
+    got = np.asarray(served(window, mods))
+    want = np.asarray(model.apply({"params": params}, window, mods,
+                                  train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # arbitrary (non-exported) volume shape: the fallback inferer traces
+    # the BAKED window program and must match the live inferer
+    vol = rng.normal(size=(1, 24, 20, 24, 1)).astype(np.float32)
+    ref = SlidingWindowInferer(
+        lambda p, w, m: model.apply({"params": p}, w, m, train=False),
+        roi_size=cfg.roi, sw_batch_size=1, overlap=cfg.infer_overlap,
+        mode="gaussian", out_channels=cfg.out_channels)
+    got2 = np.asarray(served.predict(vol, mods))
+    want2 = np.asarray(ref(jnp.asarray(vol), jnp.asarray(mods), params))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
+def test_fallback_warning_logged_once(tiny, tmp_path, caplog):
+    """A non-baked bundle warns LOUDLY (once per volume shape) when
+    predict falls back to the params-as-arguments window path — the 17%
+    steady-state loss can no longer be hit silently (VERDICT r4 #7)."""
+    import logging
+
+    cfg, model, params = tiny
+    out = export_bundle(cfg, params, tmp_path / "bundle", platforms=("cpu",))
+    served = load_bundle(out)
+    vol = np.zeros((1, 20, 20, 20, 1), np.float32)
+    mods = np.zeros((1,), np.int32)
+    with caplog.at_level(logging.WARNING, logger="miseg_tpu.serve"):
+        served.predict(vol, mods)
+        served.predict(vol, mods)  # same shape: logged once
+    warned = [r for r in caplog.records if "0.83x" in r.getMessage()]
+    assert len(warned) == 1
+    # a baked bundle stays quiet on the same fallback
+    out_b = export_bundle(cfg, params, tmp_path / "baked", platforms=("cpu",),
+                          bake_params=True)
+    served_b = load_bundle(out_b)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="miseg_tpu.serve"):
+        served_b.predict(vol, mods)
+    assert not [r for r in caplog.records if "0.83x" in r.getMessage()]

@@ -114,3 +114,45 @@ def test_errors_are_json_400s(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{server}/nope")
     assert ei.value.code == 404
+
+
+def test_http_predict_through_baked_volume_program(tmp_path):
+    """HTTP arm over a --export_bake_params bundle: an isotropic 20^3
+    upload preprocesses to exactly (20, 20, 20), which must route
+    through the BAKED whole-volume program (weights as constants, the
+    ~1.0x serving path — VERDICT r4 #7), not the window fallback."""
+    cfg = Config(model_name="unet", roi_x=16, roi_y=16, roi_z=16,
+                 out_channels=3, feature_size=[8], num_layers=2, strides=[2],
+                 num_res_units=1, encoder_norm_name="instance_cond",
+                 decoder_norm_name="instance", no_amp=True, precision="fp32")
+    model = model_from_config(cfg)
+    params = model.init({"params": jax.random.key(0)},
+                        np.zeros((1, 16, 16, 16, 1), np.float32),
+                        np.zeros((1,), np.int32))["params"]
+    bundle = export_bundle(cfg, params, tmp_path / "bundle",
+                           platforms=("cpu",), volume_shapes=[(20, 20, 20)],
+                           bake_params=True)
+
+    from miseg_tpu.cli.serve import InferenceService, make_handler
+    from miseg_tpu.serve import load_bundle
+    from http.server import ThreadingHTTPServer
+    service = InferenceService(load_bundle(bundle))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        src = tmp_path / "iso_image.nii.gz"
+        rng = np.random.default_rng(7)
+        save_nifti(str(src), rng.random((20, 20, 20)).astype(np.float32),
+                   np.eye(4))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/predict?modality=0",
+            data=src.read_bytes(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        # the request really took the baked volume program
+        prog = service.served._volume_fns.get("20x20x20")
+        assert prog is not None
+        assert service.served.meta["volume_programs"][0]["params_baked"]
+    finally:
+        srv.shutdown()
