@@ -119,15 +119,17 @@ class WindowAttention(nn.Module):
             # The materialized score tensor between the QKᵀ fusion and the
             # softmax fusion is the largest forward tensor (stage 1:
             # [343,3,343,343] ≈ 546 MB f32/window).  MISEG_BF16_SCORES=1
-            # rounds it to bf16 at the matmul epilogue — accumulation
-            # stays f32 on the MXU and softmax internals stay f32 below.
+            # rounds it to bf16 — accumulation stays f32 on the MXU, the
+            # bias/mask adds below run f32 inside the producer fusion, and
+            # only the tensor written to HBM (the cast right before the
+            # softmax, the producer-fusion root) is rounded.
             from ..ops.dispatch import use_bf16_scores
             score_dtype = (jnp.bfloat16
                            if q.dtype == jnp.bfloat16 and use_bf16_scores()
                            else jnp.float32)
-            attn = (jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                               preferred_element_type=jnp.float32)
-                    * (head_dim ** -0.5)).astype(score_dtype)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) \
+                * (head_dim ** -0.5)
             attn = attn + rel_bias.astype(attn.dtype)[None]
             if mask is not None:
                 nw = mask.shape[0]
@@ -143,10 +145,12 @@ class WindowAttention(nn.Module):
                 else:
                     attn = attn + mask[None, :, None].astype(attn.dtype)
                 attn = attn.reshape(b, self.num_heads, n, n)
-            # softmax internals in f32 regardless of the score dtype; the
-            # f32 intermediates live inside one fusion and never hit HBM —
-            # only the bf16-cast output (`.astype(v.dtype)`) is written
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            # round ONLY the HBM-materialized scores (no-op when f32);
+            # softmax internals stay f32 regardless — its intermediates
+            # live inside one fusion and never hit HBM, so the only other
+            # written tensor is the bf16 `.astype(v.dtype)` output below
+            attn = jax.nn.softmax(attn.astype(score_dtype).astype(jnp.float32),
+                                  axis=-1)
             attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=not train)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v).reshape(b, n, c)
         out = nn.Dense(c, name="proj")(out)

@@ -64,7 +64,9 @@ def use_bf16_scores() -> bool:
     scores are the single largest forward tensor: ~546 MB f32/window,
     ~6.6 ms at 228 GB/s per gap_accounting.py round 3).  Adds one bf16
     rounding of the score logits, comparable to the bf16 noise already
-    carried by the Q/K inputs.  Off by default."""
+    carried by the Q/K inputs.  Like every flag here the value is
+    lru_cached and read at trace time: toggling the env mid-process
+    requires `clear_cache()` plus a retrace to take effect."""
     env = _flag("MISEG_BF16_SCORES")
     return bool(env)
 

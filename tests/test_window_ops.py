@@ -4,6 +4,7 @@ import itertools
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from miseg_tpu.ops import window as W
 
@@ -134,23 +135,32 @@ def test_window_attention_bias_grad_env_paths_agree(rng, monkeypatch):
         g_fast, g_scatter)
 
 
-def test_bf16_scores_flag(rng, monkeypatch):
+@pytest.mark.parametrize("form", ["ids", "additive", "clipped"])
+def test_bf16_scores_flag(rng, monkeypatch, form):
     """MISEG_BF16_SCORES=1 is a no-op at f32 and stays within bf16
     rounding of the default path at bf16 (scores rounded once between the
-    f32 MXU accumulation and the f32 softmax internals)."""
+    f32 MXU accumulation and the f32 softmax internals) — on the ids-mask
+    path, the legacy additive [nW,N,N] mask path, and the clipped-window
+    (n < prod(window_size)) plain-gather path."""
     import jax
 
     from miseg_tpu.nn.swin import WindowAttention
     from miseg_tpu.ops import dispatch
-    from miseg_tpu.ops.window import window_region_ids
+    from miseg_tpu.ops.window import mask_from_region_ids, window_region_ids
 
-    x32 = jnp.asarray(rng.standard_normal((8, 27, 6)).astype(np.float32))
-    ids = window_region_ids((6, 6, 6), (3, 3, 3), (1, 1, 1))  # [nW=8, 27]
+    if form == "clipped":
+        # 8 tokens vs a 27-position window: reference's [:n,:n] prefix quirk
+        x32 = jnp.asarray(rng.standard_normal((4, 8, 6)).astype(np.float32))
+        mask = None
+    else:
+        x32 = jnp.asarray(rng.standard_normal((8, 27, 6)).astype(np.float32))
+        ids = window_region_ids((6, 6, 6), (3, 3, 3), (1, 1, 1))  # [nW=8, 27]
+        mask = ids if form == "ids" else mask_from_region_ids(ids)
     mod = WindowAttention(num_heads=3, window_size=(3, 3, 3))
     params = mod.init({"params": jax.random.key(0)}, x32)
 
     def run(x, p):
-        return np.asarray(mod.apply(p, x, ids).astype(jnp.float32))
+        return np.asarray(mod.apply(p, x, mask).astype(jnp.float32))
 
     monkeypatch.setenv("MISEG_BF16_SCORES", "1")
     dispatch.clear_cache()
