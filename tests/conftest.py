@@ -10,9 +10,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from miseg_tpu.utils.platform import force_cpu_devices
+from miseg_tpu.utils.platform import enable_compile_cache, force_cpu_devices
 
 force_cpu_devices(8)
+# Persistent, machine-fingerprinted XLA compile cache: the quick suite is
+# compile-dominated (multi-minute swin/UNETR train-step compiles on this
+# 1-core host), and every test jits the same programs run to run.  Cold
+# runs pay full compile once; warm runs replay.  MISEG_NO_COMPILE_CACHE=1
+# opts out (see utils/platform.py for the AOT-replay safety salting).
+enable_compile_cache()
 
 import numpy as np
 import pytest
