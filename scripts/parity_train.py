@@ -16,8 +16,14 @@ amp off both sides (f32) — then their val-dice trajectories and final
 nanmean over valid classes, utils/trainer.py:224,252) are compared.
 
 Usage:
-  python scripts/parity_train.py [--epochs 8] [--volumes 8] [--shape 32]
-      [--classes 4] [--lr 1e-3] [--out PARITY_TRAIN.json]
+  python scripts/parity_train.py [--model unet|swin_unetr] [--epochs 8]
+      [--volumes 8] [--shape 32] [--classes 4] [--lr 1e-3]
+      [--out PARITY_TRAIN.json]
+
+The swin_unetr arm races the FLAGSHIP family (fs=12, heads (2,4,8,16),
+depths (2,2,2,2)) — certifying the transformer training path (separable
+rel-pos-bias VJP, region-id mask backward, patch-merge/proj_out quirks)
+at step level, not just forward golden parity.
 
 Prints one JSON line per eval epoch and a final summary with
 delta_dice = ours − reference.
@@ -104,10 +110,25 @@ def run_reference(args, epochs, val):
     cond = parse_normalization("instance_cond", True, None, 2)
     inst = parse_normalization("instance", True, None, 2)
     fs = args.feature_size
-    model = unet_mod.UNet(
-        spatial_dims=3, in_channels=1, out_channels=args.classes,
-        channels=[fs * 2, fs * 4, fs * 8], strides=[2, 2], num_res_units=2,
-        norm_down=cond, norm_up=inst)
+    if args.model == "swin_unetr":
+        # flagship family (VERDICT r4 #3): the transformer training path —
+        # rel-pos-bias VJP, region-id mask backward, patch-merge/proj_out
+        # quirks — raced at step level against the reference's engine.
+        # Reference recipe anchor: /root/reference/README.md:170-173;
+        # construction swin_unetr.py:260-301 (num_heads (h,2h,4h,8h),
+        # depths (2,2,2,2)).
+        import networks.nets.swin_unetr as swin_mod
+        model = swin_mod.SwinUNETR(
+            img_size=(args.shape,) * 3, in_channels=1,
+            out_channels=args.classes, feature_size=fs,
+            num_heads=(2, 4, 8, 16), depths=(2, 2, 2, 2),
+            encoder_norm_name=cond, vit_norm_name=cond,
+            decoder_norm_name=inst)
+    else:
+        model = unet_mod.UNet(
+            spatial_dims=3, in_channels=1, out_channels=args.classes,
+            channels=[fs * 2, fs * 4, fs * 8], strides=[2, 2],
+            num_res_units=2, norm_down=cond, norm_up=inst)
     criterion = DiceFocalLoss(to_onehot_y=True, softmax=True,
                               squared_pred=True, smooth_nr=0.0,
                               smooth_dr=1e-6)
@@ -156,22 +177,32 @@ def run_ours(args, epochs, val, torch_state, ref_logits0):
     from miseg_tpu.train.pretrained import partial_load
     from miseg_tpu.train.ref_import import reference_to_flax
 
-    cfg = Config(model_name="unet", out_channels=args.classes,
-                 feature_size=[args.feature_size], num_layers=3,
-                 strides=[2, 2], num_res_units=2,
-                 roi_x=args.shape, roi_y=args.shape, roi_z=args.shape,
-                 encoder_norm_name="instance_cond",
-                 decoder_norm_name="instance",
-                 criterion="dice_focal", smooth_nr=0.0, smooth_dr=1e-6,
-                 optim_name="adamw", lr=args.lr, reg_weight=args.reg_weight,
-                 scheduler="warmup_cosine", warmup_epochs=args.warmup,
-                 max_epochs=args.epochs, no_amp=True, sw_batch_size=1)
+    common = dict(out_channels=args.classes,
+                  roi_x=args.shape, roi_y=args.shape, roi_z=args.shape,
+                  criterion="dice_focal", smooth_nr=0.0, smooth_dr=1e-6,
+                  optim_name="adamw", lr=args.lr, reg_weight=args.reg_weight,
+                  scheduler="warmup_cosine", warmup_epochs=args.warmup,
+                  max_epochs=args.epochs, no_amp=True, sw_batch_size=1)
+    if args.model == "swin_unetr":
+        # mirror run_reference's construction: num_heads=2 -> (2,4,8,16),
+        # depth_swin_block default [2] -> (2,2,2,2)
+        cfg = Config(model_name="swin_unetr",
+                     feature_size=[args.feature_size], num_heads=2,
+                     encoder_norm_name="instance_cond",
+                     vit_norm_name="instance_cond",
+                     decoder_norm_name="instance", **common)
+    else:
+        cfg = Config(model_name="unet",
+                     feature_size=[args.feature_size], num_layers=3,
+                     strides=[2, 2], num_res_units=2,
+                     encoder_norm_name="instance_cond",
+                     decoder_norm_name="instance", **common)
     import tempfile
     trainer = Trainer(cfg, mesh=make_mesh((1,), ("data",)),
                       workdir=tempfile.mkdtemp(prefix="parity_ours_"))
     b0 = epochs[0][0]
     state = trainer.init_state(b0["image"][:1], b0["modality"][:1])
-    mapped = reference_to_flax("unet",
+    mapped = reference_to_flax(args.model,
                                {k: np.asarray(v) for k, v in torch_state.items()})
     params = partial_load(state.params, mapped, verbose=False)
     # every torch leaf must land (identical-architecture guarantee)
@@ -211,6 +242,8 @@ def run_ours(args, epochs, val, torch_state, ref_logits0):
 
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="unet",
+                   choices=["unet", "swin_unetr"])
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--eval-every", type=int, default=2)
     p.add_argument("--volumes", type=int, default=8)
@@ -224,6 +257,8 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="PARITY_TRAIN.json")
     args = p.parse_args()
+    if args.model == "swin_unetr" and args.feature_size % 12:
+        args.feature_size = 12  # reference enforces fs % 12 == 0
 
     from miseg_tpu.utils.platform import enable_compile_cache
     enable_compile_cache()
@@ -237,8 +272,10 @@ def main() -> None:
     t_ours = time.time() - t0
 
     delta = our_hist[-1]["dice"] - ref_hist[-1]["dice"]
+    name = {"unet": "C-UNet", "swin_unetr": "C-Swin-UNETR"}[args.model]
     record = dict(
-        recipe="C-UNet dice_focal+adamw+warmup_cosine, identical torch-init "
+        model=args.model,
+        recipe=f"{name} dice_focal+adamw+warmup_cosine, identical torch-init "
                "weights via ref_import, identical batch stream, f32",
         epochs=args.epochs, volumes_per_modality=args.volumes,
         shape=args.shape, classes=args.classes, lr=args.lr,

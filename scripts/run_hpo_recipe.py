@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""The paper's HPO recipe end-to-end (VERDICT r4 #8): 10 trials of
+C-Swin-UNETR with generalized_dice_focal + warmup_cosine + TPE + ASHA
+(min_resource = 4·check_val_every_n_epoch, reduction_factor = 3) on the
+synthetic MM-WHS stand-in — the reference's tuning protocol
+(/root/reference/README.md:202-204, tune.py:308-326: lr ∈ [1e-5, 1e-3]
+log, patches_training_sample=4, iters_to_accumulate=4) at reduced
+volume/epoch scale so 10 trials fit one chip-hour.
+
+Exercises the first-party hpo/ stack (TPE sampler, SuccessiveHalving
+pruner, journal storage, dashboard report) at study scale rather than
+unit scale; artifacts land in experiments/hpo_recipe/:
+    <storage>.journal.jsonl     the resumable study journal
+    report.json                 cli/dashboard.py study_report output
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_hpo_recipe.py \
+      [--trials 10] [--epochs 18] [--out experiments/hpo_recipe]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--trials", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=18)
+    p.add_argument("--check-val", type=int, default=2)
+    p.add_argument("--volumes", type=int, default=4)
+    p.add_argument("--shape", type=int, default=64)
+    p.add_argument("--roi", type=int, default=32)
+    p.add_argument("--out", default="experiments/hpo_recipe")
+    args = p.parse_args()
+
+    from miseg_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
+
+    from miseg_tpu.cli import tune as tune_cli
+    from miseg_tpu.cli.dashboard import study_report
+    from miseg_tpu.config import Config
+    from miseg_tpu.data.synthetic import make_synthetic_dataset
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    data_root = Path(tempfile.mkdtemp(prefix="hpo_data_"))
+    jsons = make_synthetic_dataset(
+        data_root, n_train=args.volumes, n_val=2, n_test=1,
+        shape=(args.shape,) * 3, num_classes=4, seed=0)
+
+    cfg = Config(
+        # paper recipe (README.md:202-204): swin flagship family,
+        # generalized_dice_focal, warmup_cosine, 4 patches x 4 accumulate,
+        # lr in [1e-5, 1e-3] log-uniform
+        model_name="swin_unetr", out_channels=4, num_heads=2,
+        feature_size=[12], depth_swin_block=[2],
+        encoder_norm_name="instance_cond", vit_norm_name="instance_cond",
+        decoder_norm_name="instance",
+        criterion="generalized_dice_focal", scheduler="warmup_cosine",
+        optim_name="adamw", batch_size=1, patches_training_sample=4,
+        iters_to_accumulate=4, min_lr=1e-5, max_lr=1e-3,
+        roi_x=args.roi, roi_y=args.roi, roi_z=args.roi,
+        max_epochs=args.epochs, check_val_every_n_epoch=args.check_val,
+        data_dirs=[str(data_root)] * len(jsons), json_lists=jsons,
+        cache_num=24, num_workers=0, seed=0,
+        n_trials=args.trials, study_name="MI-Seg-recipe",
+        storage_name="MI-Seg", default_root_dir=str(out))
+
+    t0 = time.time()
+    study = tune_cli.main(cfg)
+    wall = time.time() - t0
+
+    storage = str(out / "MI-Seg.journal.jsonl")
+    report = study_report(storage, "MI-Seg-recipe")
+    report["wall_s"] = round(wall, 1)
+    report["recipe"] = ("generalized_dice_focal + warmup_cosine, TPE + "
+                        "SuccessiveHalving(min_resource=4*check_val, rf=3), "
+                        f"{args.trials} trials, patches=4 accumulate=4, "
+                        f"lr in [1e-5,1e-3]; synthetic MM-WHS stand-in "
+                        f"{args.volumes} vols/modality {args.shape}^3, "
+                        f"roi {args.roi}^3, {args.epochs} epochs")
+    (out / "report.json").write_text(json.dumps(report, indent=2))
+    best = study.best_trial
+    print(json.dumps({"best_value": best.value if best else None,
+                      "best_params": best.params if best else None,
+                      "n_trials": args.trials, "wall_s": report["wall_s"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,13 +20,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 
 @pytest.mark.slow
-def test_reference_vs_ours_convergence_parity():
+@pytest.mark.parametrize("model", ["unet", "swin_unetr"])
+def test_reference_vs_ours_convergence_parity(model):
+    """unet = the r4 arm; swin_unetr = the FLAGSHIP family (VERDICT r4
+    #3): the transformer training path (separable rel-bias VJP,
+    region-id mask backward, patch-merge/proj_out quirks) raced at step
+    level against the reference's own engine."""
     import parity_train
 
     args = parity_train.argparse.Namespace(
-        epochs=3, eval_every=3, volumes=4, val_volumes=2, shape=32,
-        classes=4, feature_size=8, lr=1e-3, reg_weight=1e-5, warmup=1,
-        seed=0, out=None)
+        model=model, epochs=3, eval_every=3, volumes=4, val_volumes=2,
+        shape=32, classes=4,
+        feature_size=8 if model == "unet" else 12,
+        lr=1e-3, reg_weight=1e-5, warmup=1, seed=0, out=None)
     epochs, val = parity_train.make_data(args)
     state0, ref_logits0, ref_hist = parity_train.run_reference(args, epochs,
                                                                val)
