@@ -24,7 +24,11 @@ from ..ops.norms import parse_normalization
 _ACTS: dict[str, Callable[[jax.Array], jax.Array]] = {
     "relu": jax.nn.relu,
     "leakyrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
-    "gelu": jax.nn.gelu,
+    # exact erf form: torch nn.GELU defaults to approximate='none'
+    # (reference networks/layers/factories.py:305), while jax.nn.gelu
+    # defaults to the tanh approximation — a systematic ~3e-3 divergence
+    # at |x|≈2 that the swin convergence-parity race surfaced (round 5)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "silu": jax.nn.silu,
     "swish": jax.nn.silu,
     "sigmoid": jax.nn.sigmoid,

@@ -129,7 +129,13 @@ def _stats(x: Array, axes, eps: float):
             return _stats_packed(x, eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(mean)
+    # TWO-PASS variance (E[(x-mean)²]), like torch: the one-pass
+    # E[x²]-mean² form loses ~3 decimal digits to cancellation whenever
+    # var << mean² — real conv activations hit this (measured: a swin
+    # patch-embed channel with mean -0.27, var 7e-4 came out 7.3e-3
+    # wrong vs f64, the dominant term in the round-5 swin parity race;
+    # torch's two-pass is 1e-6 from f64 on the same data)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     return mean, inv
 

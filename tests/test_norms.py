@@ -147,3 +147,39 @@ def test_packed_stats_gate_and_grad(rng, monkeypatch):
     for gp, gb in zip(pack_grads, base_grads):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_instance_norm_ill_conditioned_two_pass(rng):
+    """Two-pass variance regression (round 5): channels with
+    var << mean² — ubiquitous in real conv activations (post-bias) —
+    must not lose digits to the one-pass E[x²]-mean² cancellation.
+    Measured pre-fix: a swin patch-embed channel (mean -0.27, var 7e-4)
+    came out 7.3e-3 wrong vs f64; torch's two-pass is ~1e-6."""
+    from miseg_tpu.ops.norms import instance_norm
+
+    # mean 10, std 1e-2: var/mean² = 1e-6 — brutal cancellation regime
+    x = (10.0 + 0.01 * rng.standard_normal((2, 16, 16, 16, 4))).astype(
+        np.float32)
+    got = np.asarray(instance_norm(jnp.asarray(x)))
+    x64 = x.astype(np.float64)
+    mean = x64.mean(axis=(1, 2, 3), keepdims=True)
+    var = ((x64 - mean) ** 2).mean(axis=(1, 2, 3), keepdims=True)
+    want = (x64 - mean) / np.sqrt(var + 1e-5)
+    # one-pass f32 error here is O(1); two-pass lands ~1e-4
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_gelu_is_exact_erf_form(rng):
+    """torch nn.GELU defaults to the exact erf form (reference
+    factories.py:305); jax.nn.gelu defaults to the tanh approximation —
+    a systematic ~3e-3 divergence at |x|≈2 the swin parity race
+    surfaced (round 5).  The factory must resolve to the exact form."""
+    import math as _math
+
+    from miseg_tpu.nn.factories import get_act
+
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    got = np.asarray(get_act("gelu")(jnp.asarray(x)))
+    from scipy.special import erf
+    want = x * 0.5 * (1.0 + erf(x.astype(np.float64) / _math.sqrt(2.0)))
+    np.testing.assert_allclose(got, want, atol=1e-6)

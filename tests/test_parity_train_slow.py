@@ -28,9 +28,13 @@ def test_reference_vs_ours_convergence_parity(model):
     level against the reference's own engine."""
     import parity_train
 
+    # swin needs shape >= 64: at 32^3 the final PatchMerging's cond norm
+    # sees 1^3 spatial and torch InstanceNorm refuses train mode
+    # ("Expected more than 1 spatial element when training")
     args = parity_train.argparse.Namespace(
-        model=model, epochs=3, eval_every=3, volumes=4, val_volumes=2,
-        shape=32, classes=4,
+        model=model, epochs=3, eval_every=3,
+        volumes=4 if model == "unet" else 2, val_volumes=2,
+        shape=32 if model == "unet" else 64, classes=4,
         feature_size=8 if model == "unet" else 12,
         lr=1e-3, reg_weight=1e-5, warmup=1, seed=0, out=None)
     epochs, val = parity_train.make_data(args)
