@@ -57,18 +57,21 @@ def pallas_attn_min_bw() -> int | None:
 
 @functools.lru_cache(maxsize=1)
 def use_bf16_scores() -> bool:
-    """MISEG_BF16_SCORES=1: materialize window-attention score tensors in
-    bf16 instead of f32.  The QKᵀ einsum still accumulates f32 on the MXU
-    and softmax still subtracts-max/exps/sums in f32 — only the HBM tensor
-    between the two fusions is rounded (the stage-1 `[343,3,343,343]`
-    scores are the single largest forward tensor: ~546 MB f32/window,
-    ~6.6 ms at 228 GB/s per gap_accounting.py round 3).  Adds one bf16
-    rounding of the score logits, comparable to the bf16 noise already
-    carried by the Q/K inputs.  Like every flag here the value is
-    lru_cached and read at trace time: toggling the env mid-process
-    requires `clear_cache()` plus a retrace to take effect."""
+    """Materialize window-attention score tensors in bf16 instead of f32
+    (DEFAULT ON since round 5; MISEG_BF16_SCORES=0 restores f32 scores).
+    The QKᵀ einsum still accumulates f32 on the MXU and softmax still
+    subtracts-max/exps/sums in f32 — only the HBM tensor between the two
+    fusions is rounded (the stage-1 `[343,3,343,343]` scores are the
+    single largest forward tensor: ~546 MB f32/window).  Engages only
+    when Q/K are already bf16, so f32 runs are bit-identical by
+    construction.  Measured on v5e (round 5, scripts/bench_forward.py /
+    bench_train.py, same-session XLA control arms): inference 43.95 →
+    35.61 ms/window (−19%), train 159.4 → 147.2 ms/step (−7.7%), step-1
+    loss bit-identical at print precision.  Like every flag here the
+    value is lru_cached and read at trace time: toggling the env
+    mid-process requires `clear_cache()` plus a retrace."""
     env = _flag("MISEG_BF16_SCORES")
-    return bool(env)
+    return True if env is None else env
 
 
 @functools.lru_cache(maxsize=1)
