@@ -91,8 +91,49 @@ def to_torch(batch, torch):
             "modality": torch.from_numpy(batch["modality"].astype(np.int64))}
 
 
-def run_reference(args, epochs, val):
-    """Train the reference's C-UNet with ITS OWN engine, stubbed monai."""
+def fix_reference_norm_grads(model, torch):
+    """Work around a PyTorch 2.13.0-CPU autograd bug the swin parity race
+    exposed: InstanceNorm's backward drops the stats-mediated gradient
+    terms (returns exactly 0 for every cross-position coupling) whenever
+    `grad_output` is a non-contiguous view — FD-vs-autograd arbitration in
+    scripts/debug_jac.py, minimal repro in BASELINE.md round 5.  The
+    reference wraps every swin cond-norm in einops rearranges
+    (swin_transformer_block.py:107-112, patch_merging.py:78-84), so its
+    cotangents are always permuted views and every vit norm trains with
+    corrupted gradients.  Forcing the cotangent contiguous at each
+    InstanceNorm output restores the true gradient (FD-verified)."""
+
+    class _ContiguousGrad(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, t):
+            # clone: downstream in-place ops on an as-is returned tensor
+            # would override the custom backward (torch forbids it)
+            return t.clone()
+
+        @staticmethod
+        def backward(ctx, g):
+            return g.contiguous()
+
+    def hook(mod, inp, out):
+        return _ContiguousGrad.apply(out)
+
+    n = 0
+    for mod in model.modules():
+        if isinstance(mod, torch.nn.modules.instancenorm._InstanceNorm):
+            mod.register_forward_hook(hook)
+            n += 1
+    return n
+
+
+def run_reference(args, epochs, val, perturb=False):
+    """Train the reference's C-UNet with ITS OWN engine, stubbed monai.
+
+    `perturb=True` flips the first weight element by ONE ULP before
+    training — the noise-floor arm: racing the reference against this
+    perturbed twin of itself measures the recipe's intrinsic chaotic
+    spread at the chosen epoch budget, the yardstick any cross-framework
+    delta_dice must be read against (f32 reduction-order noise is of the
+    same order as 1 ulp)."""
     import torch
 
     from miseg_tpu.compat.monai_train_stub import install_monai_train_stub
@@ -129,6 +170,10 @@ def run_reference(args, epochs, val):
             spatial_dims=3, in_channels=1, out_channels=args.classes,
             channels=[fs * 2, fs * 4, fs * 8], strides=[2, 2],
             num_res_units=2, norm_down=cond, norm_up=inst)
+    if getattr(args, "fix_ref_grads", False):
+        n = fix_reference_norm_grads(model, torch)
+        print(f"[fix] contiguous-grad hooks on {n} InstanceNorm modules",
+              flush=True)
     criterion = DiceFocalLoss(to_onehot_y=True, softmax=True,
                               squared_pred=True, smooth_nr=0.0,
                               smooth_dr=1e-6)
@@ -141,6 +186,21 @@ def run_reference(args, epochs, val):
     post_label = AsDiscrete(to_onehot=args.classes)
     post_pred = AsDiscrete(argmax=True, to_onehot=args.classes)
 
+    if perturb:
+        with torch.no_grad():
+            if getattr(args, "noise_scale", 0.0):
+                # every-weight relative perturbation at f32-rounding scale:
+                # a twin that differs from the reference the way a second
+                # f32 framework does (different reduction orders re-round
+                # every tensor) — vs the single-element 1-ulp twin below
+                g = torch.Generator().manual_seed(args.seed + 12345)
+                for p in model.parameters():
+                    p.mul_(1 + args.noise_scale
+                           * torch.randn(p.shape, generator=g))
+            else:
+                p = next(model.parameters())
+                flat = p.view(-1)
+                flat[0] = torch.nextafter(flat[0], torch.tensor(float("inf")))
     state0 = {k: v.detach().clone() for k, v in model.state_dict().items()}
     b0 = to_torch(epochs[0][0], torch)
     model.eval()
@@ -255,6 +315,19 @@ def main() -> None:
     p.add_argument("--reg-weight", type=float, default=1e-5)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise-floor", action="store_true",
+                   help="race the reference against a 1-ulp-perturbed twin "
+                        "of ITSELF (no JAX arm): measures the recipe's "
+                        "intrinsic chaotic delta_dice at this epoch budget")
+    p.add_argument("--fix-ref-grads", action="store_true",
+                   help="apply fix_reference_norm_grads to the reference "
+                        "model (work around the torch InstanceNorm "
+                        "strided-cotangent backward bug) before racing")
+    p.add_argument("--noise-scale", type=float, default=0.0,
+                   help="with --noise-floor: perturb EVERY weight by "
+                        "relative N(0, scale) instead of one element by one "
+                        "ulp (scale≈1.2e-7 = f32 eps mimics a second f32 "
+                        "framework's per-tensor re-rounding)")
     p.add_argument("--out", default="PARITY_TRAIN.json")
     args = p.parse_args()
     if args.model == "swin_unetr" and args.feature_size % 12:
@@ -267,16 +340,49 @@ def main() -> None:
     t0 = time.time()
     torch_state, ref_logits0, ref_hist = run_reference(args, epochs, val)
     t_ref = time.time() - t0
+    if args.noise_floor:
+        t0 = time.time()
+        _, _, twin_hist = run_reference(args, epochs, val, perturb=True)
+        t_twin = time.time() - t0
+        delta = twin_hist[-1]["dice"] - ref_hist[-1]["dice"]
+        name = {"unet": "C-UNet", "swin_unetr": "C-Swin-UNETR"}[args.model]
+        kind = (f"every-weight relative N(0,{args.noise_scale:g})"
+                if args.noise_scale else "single-element 1-ulp")
+        record = dict(
+            model=args.model, noise_floor=True,
+            noise_scale=args.noise_scale,
+            recipe=f"NOISE FLOOR: {name} reference engine vs a {kind}-"
+                   "perturbed twin of itself — same recipe/data/seed; the "
+                   "intrinsic chaotic dice spread at this epoch budget",
+            epochs=args.epochs, volumes_per_modality=args.volumes,
+            shape=args.shape, classes=args.classes, lr=args.lr,
+            reference=ref_hist, perturbed_twin=twin_hist,
+            final_dice_reference=ref_hist[-1]["dice"],
+            final_dice_twin=twin_hist[-1]["dice"],
+            delta_dice=delta,
+            wall_reference_s=round(t_ref, 1), wall_twin_s=round(t_twin, 1))
+        out = Path(args.out)
+        prev = json.loads(out.read_text()) if out.exists() else []
+        prev.append(record)
+        out.write_text(json.dumps(prev, indent=1))
+        print(json.dumps(dict(noise_floor=True,
+                              final_dice_reference=record["final_dice_reference"],
+                              final_dice_twin=record["final_dice_twin"],
+                              delta_dice=delta)))
+        return
     t0 = time.time()
     fwd_diff, our_hist = run_ours(args, epochs, val, torch_state, ref_logits0)
     t_ours = time.time() - t0
 
     delta = our_hist[-1]["dice"] - ref_hist[-1]["dice"]
     name = {"unet": "C-UNet", "swin_unetr": "C-Swin-UNETR"}[args.model]
+    fixed = bool(getattr(args, "fix_ref_grads", False))
     record = dict(
-        model=args.model,
+        model=args.model, fix_ref_grads=fixed,
         recipe=f"{name} dice_focal+adamw+warmup_cosine, identical torch-init "
-               "weights via ref_import, identical batch stream, f32",
+               "weights via ref_import, identical batch stream, f32"
+               + (" [reference InstanceNorm strided-cotangent backward "
+                  "bug FIXED via contiguous-grad hooks]" if fixed else ""),
         epochs=args.epochs, volumes_per_modality=args.volumes,
         shape=args.shape, classes=args.classes, lr=args.lr,
         reference=ref_hist, ours=our_hist,
