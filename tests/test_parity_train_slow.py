@@ -31,11 +31,19 @@ def test_reference_vs_ours_convergence_parity(model):
     # swin needs shape >= 64: at 32^3 the final PatchMerging's cond norm
     # sees 1^3 spatial and torch InstanceNorm refuses train mode
     # ("Expected more than 1 spatial element when training")
+    # fix_ref_grads (swin only): torch-2.13-CPU InstanceNorm drops the
+    # stats-mediated backward terms for non-contiguous cotangents — every
+    # rearrange-wrapped vit norm in the reference hits it, so the raw
+    # reference trains with corrupted gradients and drifts BELOW ours
+    # (+0.009 dice at 6 epochs, see BASELINE.md round 5 + debug_jac.py).
+    # The contiguous-cotangent hook restores the FD-verified true
+    # gradient; the unet path is all-contiguous and unaffected.
     args = parity_train.argparse.Namespace(
         model=model, epochs=3, eval_every=3,
         volumes=4 if model == "unet" else 2, val_volumes=2,
         shape=32 if model == "unet" else 64, classes=4,
         feature_size=8 if model == "unet" else 12,
+        fix_ref_grads=model == "swin_unetr",
         lr=1e-3, reg_weight=1e-5, warmup=1, seed=0, out=None)
     epochs, val = parity_train.make_data(args)
     state0, ref_logits0, ref_hist = parity_train.run_reference(args, epochs,
