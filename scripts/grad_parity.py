@@ -101,7 +101,6 @@ def jax_grads(args, b0, torch_state):
     import jax.numpy as jnp
 
     from miseg_tpu.config import Config
-    from miseg_tpu.parallel import make_mesh
     from miseg_tpu.train.engine import Trainer
     from miseg_tpu.train.pretrained import partial_load
     from miseg_tpu.train.ref_import import reference_to_flax
@@ -123,7 +122,8 @@ def jax_grads(args, b0, torch_state):
                      strides=[2, 2], num_res_units=2,
                      encoder_norm_name="instance_cond",
                      decoder_norm_name="instance", **common)
-    trainer = Trainer(cfg, mesh=make_mesh((1,), ("data",)),
+    from jax.sharding import Mesh
+    trainer = Trainer(cfg, mesh=Mesh(np.array(jax.devices()[:1]), ("data",)),
                       workdir=tempfile.mkdtemp(prefix="grad_parity_"))
     state = trainer.init_state(b0["image"][:1], b0["modality"][:1])
     mapped = reference_to_flax(

@@ -231,7 +231,6 @@ def run_ours(args, epochs, val, torch_state, ref_logits0):
     import jax.numpy as jnp
 
     from miseg_tpu.config import Config
-    from miseg_tpu.parallel import make_mesh
     from miseg_tpu.train.engine import Trainer
     from miseg_tpu.train.optim import set_learning_rate
     from miseg_tpu.train.pretrained import partial_load
@@ -258,7 +257,13 @@ def run_ours(args, epochs, val, torch_state, ref_logits0):
                      encoder_norm_name="instance_cond",
                      decoder_norm_name="instance", **common)
     import tempfile
-    trainer = Trainer(cfg, mesh=make_mesh((1,), ("data",)),
+
+    from jax.sharding import Mesh
+
+    # a 1-device mesh regardless of how many devices the host exposes
+    # (the test conftest runs 8 virtual CPU devices; the race is serial)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    trainer = Trainer(cfg, mesh=mesh,
                       workdir=tempfile.mkdtemp(prefix="parity_ours_"))
     b0 = epochs[0][0]
     state = trainer.init_state(b0["image"][:1], b0["modality"][:1])
