@@ -88,6 +88,11 @@ def main() -> None:
                         f"{args.volumes} vols/modality {args.shape}^3, "
                         f"roi {args.roi}^3, {args.epochs} epochs")
     (out / "report.json").write_text(json.dumps(report, indent=2))
+    # keep the committable artifacts small: the journal + report + per-trial
+    # metrics/params are the record; trial checkpoints are ~GBs and
+    # reproducible from the journal's params
+    for ckpt in out.rglob("*.ckpt*"):
+        ckpt.unlink()
     best = study.best_trial
     print(json.dumps({"best_value": best.value if best else None,
                       "best_params": best.params if best else None,
