@@ -84,16 +84,22 @@ class WindowAttention(nn.Module):
         # 17 GB/s (scripts/gap_accounting.py, round 3).  [H, N²] keeps the
         # long axis lane-minor and streams at full bandwidth.
         from ..ops.dispatch import _flag
-        if n == int(np.prod(self.window_size)) and not _flag(
-                "MISEG_SCATTER_BIAS_GRAD"):
-            # full window: separable scatter-free VJP (ops/rel_bias.py) —
-            # the plain take's backward is a ~2 ms serial scatter per
-            # table on v5e (gap_accounting --train, round 4)
+        if not _flag("MISEG_SCATTER_BIAS_GRAD"):
+            # separable scatter-free VJP (ops/rel_bias.py) — the plain
+            # take's backward is a ~2 ms serial scatter per table on v5e
+            # (gap_accounting --train, rounds 4/5).  The clipped-window
+            # case (reference's [:n,:n] prefix quirk, n < ∏window) is NOT
+            # a sub-grid, but the clipped index is exactly the FULL
+            # index's leading block — so gather the full-window bias and
+            # slice: the slice's backward zero-pads the cotangent and the
+            # separable VJP handles the rest (round 5: stage-4 6³<7³
+            # windows at 96³ were the last serial-scatter rows in the
+            # train accounting, fusion.2441 2 MB @ ~1 GB/s).
             rel_bias = rel_bias_gather(bias_table.T,
                                        tuple(self.window_size))  # [H, N, N]
+            if n != rel_bias.shape[-1]:
+                rel_bias = rel_bias[:, :n, :n]
         else:
-            # clipped window (reference's [:n,:n] prefix quirk) — the
-            # prefix is not a sub-grid, keep the plain gather
             index = _rel_pos_index(self.window_size)[:n, :n].reshape(-1)
             rel_bias = jnp.take(bias_table.T, jnp.asarray(index),
                                 axis=1).reshape(-1, n, n)  # [H, N, N]

@@ -112,14 +112,17 @@ def test_rel_bias_gather_value_and_grad_match_take(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_window_attention_bias_grad_env_paths_agree(rng, monkeypatch):
+@pytest.mark.parametrize("n", [27, 8])
+def test_window_attention_bias_grad_env_paths_agree(rng, monkeypatch, n):
     """WindowAttention trains identically with the scatter-free bias VJP
-    (default) and the plain scatter path (MISEG_SCATTER_BIAS_GRAD=1)."""
+    (default) and the plain scatter path (MISEG_SCATTER_BIAS_GRAD=1).
+    n=27 is the full 3³ window; n=8 the clipped-window prefix quirk,
+    routed through the full-window gather + slice since round 5."""
     import jax
 
     from miseg_tpu.nn.swin import WindowAttention
 
-    x = jnp.asarray(rng.standard_normal((4, 27, 6)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((4, n, 6)).astype(np.float32))
     mod = WindowAttention(num_heads=3, window_size=(3, 3, 3))
     params = mod.init({"params": jax.random.key(0)}, x)
 
