@@ -152,10 +152,15 @@ def test_hybrid_dp_fsdp_2d_mesh(tmp_path):
     s_hy2, loss_hy = t_hy.train_step(s_hy, batch)
     s_dp2, loss_dp = t_dp.train_step(s_dp, batch)
     np.testing.assert_allclose(float(loss_hy), float(loss_dp), rtol=1e-5)
-    # 4-way vs 8-way grad reduction changes f32 summation order; near-zero
-    # grad leaves wobble at ~1e-6, so tolerance is looser than the 1-D case
+    # 4-way vs 8-way grad reduction changes f32 summation order.  Adam's
+    # step-1 update is ~ lr·sign(g), so elements whose grad sits at
+    # reduction-noise scale can flip SIGN between the two programs — the
+    # per-element bound after one step is 2·lr (2e-4 at lr=1e-4), not a
+    # float tolerance (same reasoning as test_tensor_parallel.py; observed
+    # here: one near-zero-grad element at 1.25e-5 after the round-5
+    # two-pass-variance change reordered the norm-stats sums)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
-        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=2.5e-4),
         s_hy2.params, s_dp2.params)
 
 
