@@ -178,7 +178,6 @@ def main() -> None:
 
     # forward check too
     yj = layer.apply({"params": params}, xj, modsj, train=True)
-    y64 = None
     fwd32 = float(np.max(np.abs(np.moveaxis(np.asarray(yj), -1, 1)
                                 - y_probe.detach().numpy())))
 

@@ -14,7 +14,8 @@ arithmetic floor; benign reduction-order noise is uniform across groups.
 
 Usage:
   PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/grad_parity.py \
-      [--model swin_unetr] [--shape 64] [--top 25] [--out -]
+      [--model swin_unetr] [--shape 64] [--top 25] [--torch-f64]
+      [--fix-ref-grads]
 """
 
 from __future__ import annotations
